@@ -1,0 +1,78 @@
+"""Query registry — the engine's declared query surface.
+
+Every operator from SURVEY.md §2 (reference parity + north-star extensions)
+is registered here as a named query: a Spark callable ``(spark, sf_dir) ->
+DataFrame`` plus, when SQL-expressible, an equivalent DuckDB oracle SQL
+string.  ``__spark_entry__.py`` exposes this registry to the driver, which
+runs both sides at sf=0.01 and compares row count + schema + order-
+insensitive value hash.
+
+Determinism contract (so Spark and DuckDB hash-match bit-for-bit):
+
+- Double sums are order-sensitive; any SUM over a double column goes through
+  a DECIMAL cast (exact, order-independent) and back to double — helpers in
+  ``functions.numeric``.  Averages are exact-sum / count, divided as doubles.
+- Timestamps leave the query as ``unix_millis`` bigints or DATEs where
+  possible; the session timezone is pinned to UTC (session.prep).
+- Every computed column is aliased identically in the Spark code and the
+  oracle SQL.
+- Ordering never matters (the driver hash is order-insensitive), but ranked
+  outputs carry explicit deterministic tie-breakers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL over the pre-registered table views
+    category: str
+    doc: str = field(default="")
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, category: str, oracle: str | None = None):
+    """Decorator: register a query under ``name``.
+
+    ``oracle=None`` marks a genuinely non-SQL-expressible operator (custom
+    stateful streaming, approximate sketches at default accuracy, ...); the
+    driver then records a weaker rows-only check.
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, category, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Name -> spec for every registered query (imports operator modules)."""
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def _load_all() -> None:
+    # Import for side effect: each module registers its queries on import.
+    from kafka_spark_streaming_eval_spark.operators import (  # noqa: F401
+        dedup,
+        metrics,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
+    from kafka_spark_streaming_eval_spark.streaming import queries  # noqa: F401

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local test profile runs ``local[N]`` (one JVM); the same settings scale to a
+real cluster because everything here is declarative: AQE re-plans at runtime
+(partition coalescing, skew-join splitting), shuffle partitions are sized to
+the parallelism at hand, and Arrow is enabled for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_spark_streaming_eval_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores.  On a real
+    cluster the ``master`` line is dropped and the same configs apply.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Normalize a session we did not create (e.g. the driver's).
+
+    Timestamps in the testdata parquet are timezone-naive; DuckDB (the
+    correctness oracle) treats them as UTC-naive.  Pinning the session
+    timezone to UTC makes ``unix_millis``/``date_trunc`` agree bit-for-bit
+    with the oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,91 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle helper,
+and a comparator that mirrors the driver's correctness gate (row count +
+schema + order-insensitive values, exact)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from kafka_spark_streaming_eval_spark.catalog import TABLES
+from kafka_spark_streaming_eval_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Canonicalize a cell for exact comparison across engines."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def canonical_rows(df_pandas):
+    """Sort columns by name, normalize cells, return sorted row tuples."""
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def assert_matches_oracle(spark_df, ducks, oracle_sql: str, name: str = "?"):
+    """Exact order-insensitive comparison (the driver hashes values, so any
+    float drift is a failure — this is deliberately NOT tolerance-based)."""
+    got_pdf = spark_df.toPandas()
+    exp_pdf = ducks.execute(oracle_sql).fetchdf()
+    got_cols, got_rows = canonical_rows(got_pdf)
+    exp_cols, exp_rows = canonical_rows(exp_pdf)
+    assert got_cols == exp_cols, f"{name}: column mismatch {got_cols} vs {exp_cols}"
+    assert len(got_rows) == len(exp_rows), (
+        f"{name}: row count {len(got_rows)} vs {len(exp_rows)}"
+    )
+    mismatches = [
+        (i, g, e) for i, (g, e) in enumerate(zip(got_rows, exp_rows)) if g != e
+    ]
+    if mismatches:
+        i, g, e = mismatches[0]
+        raise AssertionError(
+            f"{name}: {len(mismatches)}/{len(got_rows)} rows differ; "
+            f"first at sorted-index {i}:\n  spark : {g}\n  duckdb: {e}\n  cols: {got_cols}"
+        )
