@@ -17,27 +17,29 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 4 fractional digits covers the testdata's monetary/metric doubles; width 38
+# 6 fractional digits represents every testdata double EXACTLY (2dp values and
+# products of up to three 2dp factors), so the decimal cast never rounds —
+# no cross-engine rounding-tie risk.  Width 38
 # keeps ~10^33 of headroom before overflow at 100 TB row counts.
-DEC = "decimal(38,4)"
+DEC = "decimal(38,6)"
 
 
-def dsum(col: Column | str, scale: int = 4) -> Column:
+def dsum(col: Column | str, scale: int = 6) -> Column:
     """Order-independent SUM of a double column, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
 
 
-def dsum_sql(expr: str, scale: int = 4) -> str:
+def dsum_sql(expr: str, scale: int = 6) -> str:
     """DuckDB mirror of :func:`dsum` for oracle SQL strings."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
 
 
-def davg(col: Column | str, scale: int = 4) -> Column:
+def davg(col: Column | str, scale: int = 6) -> Column:
     """Order-independent AVG: exact decimal sum divided by count, as double."""
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, scale) / F.count(c)
 
 
-def davg_sql(expr: str, scale: int = 4) -> str:
+def davg_sql(expr: str, scale: int = 6) -> str:
     return f"({dsum_sql(expr, scale)} / COUNT({expr}))"

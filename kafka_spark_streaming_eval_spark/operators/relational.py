@@ -1,1 +1,742 @@
-"""Filled in by later build phases."""
+"""Relational completion layer (SURVEY.md §2.b).
+
+The reference exercises no joins, window ranking, set ops or grouping sets
+(SURVEY §2.a "notably absent"); a usable analytics engine needs them.  Every
+operator here is built-in Catalyst surface — the physical strategy (broadcast
+vs sort-merge join, partial aggregation, AQE skew splitting) is left to the
+optimizer, with explicit ``broadcast()`` hints only where a dimension table
+is provably small (region/nation/supplier: fixed cardinality at any scale
+factor).
+
+Scale notes (100 TB):
+- Fact-fact joins (orders x lineitem) are equi-joins on the natural key and
+  shuffle-partition on it; with bucketed storage they become shuffle-free.
+- Dimension joins are broadcast — no shuffle of the fact side at all.
+- Top-k per group is window row_number + filter: one shuffle, no global sort.
+- Global top-k is ``orderBy().limit(k)`` which Spark executes as per-partition
+  TakeOrdered + driver merge of k rows — no full sort at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.operators.metrics import _EV
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation over the fact table (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    "relational",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy groupBy with 8 aggregates — partial aggregation
+    map-side, 2 grouping keys of cardinality ~6; the shipdate filter pushes
+    into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_star_revenue",
+    "relational",
+    oracle=f"""
+    SELECT r.r_name, year(o.o_orderdate) AS order_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+    """,
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: fact-fact equi-join (lineitem x orders, shuffled on
+    orderkey) then broadcast joins for customer/nation/region dims — the
+    100 TB plan shuffles each fact row exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name", F.year("o_orderdate").alias("order_year")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "join_left_order_counts",
+    "relational",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           coalesce({dsum_sql('o.o_totalprice')}, 0.0) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_big_spenders",
+    "relational",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order —
+    no row multiplication, the probe side streams."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti_dormant",
+    "relational",
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def join_anti_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_range_ship_window",
+    "relational",
+    oracle=f"""
+    SELECT year(o.o_orderdate) AS order_year, month(o.o_orderdate) AS order_month,
+           count(*) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS shipped_value
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1, 2
+    """,
+)
+def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (interval) join: lineitems shipped within 60 days of
+    their order.  The equi key carries the shuffle; the range predicate is
+    evaluated post-match, so no O(n*m) blowup at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("shipped_value"),
+        )
+    )
+
+
+@register(
+    "join_asof_prev_error",
+    "relational",
+    oracle=f"""
+    SELECT event_id, user_id,
+           epoch_ms(ts) AS ts_ms,
+           epoch_ms(last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS prev_error_ms
+    FROM {_EV}
+    """,
+)
+def join_asof_prev_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) association: for every event, the timestamp of
+    the same user's most recent *preceding* 'error' event.  Expressed as a
+    conditional last_value window with IGNORE NULLS — one per-user sort, no
+    join at all (the Spark-native as-of pattern; pd.merge_asof via
+    applyInPandas is only needed when the two sides are different tables)."""
+    ev = table(prep(spark), sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(prev_err).alias("prev_error_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extensions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_users",
+    "relational",
+    oracle=f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CASE WHEN value > 50 THEN user_id END) AS n_users_high,
+           {dsum_sql('value')} AS total_value
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts, plain and filtered, in one aggregation."""
+    ev = table(prep(spark), sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("value") > 50, F.col("user_id"))).alias(
+            "n_users_high"
+        ),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register("agg_approx_distinct", "relational", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (the 100 TB path — constant memory per
+    group vs a full distinct shuffle).  rsd=0.01; rows-only check because
+    HLL sketches are implementation-specific (tests assert <5% error vs
+    exact)."""
+    ev = table(prep(spark), sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    "relational",
+    oracle=f"""
+    SELECT year(o_orderdate) AS order_year, o_orderstatus,
+           count(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (year, status) -> (year) -> grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup(F.year("o_orderdate").alias("order_year"), "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    "relational",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "relational",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS n_customers, {dsum_sql('c_acctbal')} AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (segment totals side-by-side with nation
+    totals) via the SQL API — same Catalyst Expand operator as rollup/cube."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               count(*) AS n_customers, {dsum_sql('c_acctbal')} AS total_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_trio",
+    "relational",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number()  OVER w AS rn,
+           rank()        OVER w AS rnk,
+           dense_rank()  OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 5
+    """,
+)
+def window_rank_trio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank, top-5 per nation — the scalable top-k
+    idiom (per-group heap via window, no global sort)."""
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead",
+    "relational",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history (generalizes the
+    reference's diff() at analyze_recovery.py:12-15)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_frame",
+    "relational",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS qty_3row
+    FROM lineitem
+    """,
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row sliding frame per supplier (explicit rowsBetween
+    frames).  Decimal accumulator keeps the running sum order-independent."""
+    base = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    qty = F.col("l_quantity").cast("decimal(38,4)")
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qty).over(base.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_qty"),
+        F.sum(qty).over(base.rowsBetween(-2, 0)).cast("double").alias("qty_3row"),
+    )
+
+
+@register(
+    "window_distribution",
+    "relational",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over the account-balance distribution
+    (deterministic: custkey tie-break means no peer groups)."""
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "topk_global_orders",
+    "relational",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: TakeOrderedAndProject (per-partition heaps merged on
+    the driver) — never a full sort, at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    "relational",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM part
+    QUALIFY row_number() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey) <= 2
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 parts by price per brand (per-group top-k, generalizes A6)."""
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        _t(spark, sf_dir, "part")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_intersect_custkeys",
+    "relational",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who ordered in both 1995 and 1996."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "setop_except_custkeys",
+    "relational",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1995 customers who did not return in 1996."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)  # EXCEPT (distinct) semantics
+
+
+@register(
+    "distinct_flag_status",
+    "relational",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as an aggregation (hash, partial on the map side)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function batteries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_battery",
+    "relational",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           upper(p_brand) AS brand_uc,
+           length(p_name) AS name_len,
+           len(string_split(p_name, ' ')) AS n_tokens,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           concat(p_brand, '#', p_type) AS brand_type,
+           substr(p_name, 1, 5) AS name5,
+           replace(p_type, ' ', '_') AS type_us,
+           contains(p_name, 'an') AS has_an,
+           strpos(p_name, 'a') AS first_a,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           trim(concat(' ', p_name, ' ')) AS name_trim
+    FROM part
+    """,
+)
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (§2.b scalar surface), all JVM-codegen'd."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split("p_name", " ")).alias("n_tokens"),
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.col("p_name").contains("an").alias("has_an"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit(" "), "p_name", F.lit(" "))).alias("name_trim"),
+    )
+
+
+@register(
+    "scalar_date_battery",
+    "relational",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           quarter(o_orderdate) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           epoch_ms(o_orderdate) AS order_ms
+    FROM orders
+    """,
+)
+def scalar_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery: extraction, truncation, arithmetic,
+    epoch conversion (the reference only ever did epoch arithmetic)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("order_ms"),
+    )
+
+
+@register(
+    "scalar_math_battery",
+    "relational",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice, 1) AS price_r1,
+           abs(o_totalprice - 150000.0) AS dist_150k,
+           round(ln(o_totalprice), 6) AS ln_price,
+           round(log10(o_totalprice), 6) AS log10_price,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           round(pow(o_totalprice / 100000.0, 2.0), 6) AS pow2,
+           ceil(o_totalprice) AS price_ceil,
+           floor(o_totalprice) AS price_floor,
+           sign(o_totalprice - 150000.0) AS above_150k,
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM orders
+    """,
+)
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery; transcendentals rounded to 6 dp (libm results
+    may differ by 1 ulp across engines — rounding removes the drift)."""
+    o = _t(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(tp, 1).alias("price_r1"),
+        F.abs(tp - 150000.0).alias("dist_150k"),
+        F.round(F.log(tp), 6).alias("ln_price"),
+        F.round(F.log10(tp), 6).alias("log10_price"),
+        F.round(F.sqrt(tp), 6).alias("sqrt_price"),
+        F.round(F.pow(tp / 100000.0, 2.0), 6).alias("pow2"),
+        F.ceil(tp).alias("price_ceil"),
+        F.floor(tp).alias("price_floor"),
+        F.signum(tp - 150000.0).alias("above_150k"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+    )
+
+
+@register(
+    "scalar_conditional_battery",
+    "relational",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 1000.0) AS bal_cap1k,
+           (c_acctbal > 0 AND c_nationkey < 10) AS pos_low_nation
+    FROM customer
+    """,
+)
+def scalar_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions: CASE/when, coalesce, nullif, greatest/least."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "low").otherwise("high").alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1k"),
+        ((bal > 0) & (F.col("c_nationkey") < 10)).alias("pos_low_nation"),
+    )
+
+
+@register(
+    "pivot_status_by_year",
+    "relational",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — explicit values
+    keep the plan a single pass (no extra distinct-values job)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
