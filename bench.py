@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Methodology mirrors BASELINE.md: a warm-up pass is excluded from
+measurement (the reference excluded a 120 s warm-up window,
+analyze_exp1.py:10-12), each query is timed over full materialization
+(count of the result), best of 2 runs.  ``throughput_eps`` pushes synthetic
+wire-format JSON events through the full reference pipeline (parse ->
+latency -> fused per-batch metrics agg) and reports events/second — the
+number comparable to the reference's sustained ~6,915 eps at saturation
+(BASELINE.md exp1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_spark_streaming_eval_spark.plans.registry import all_queries  # noqa: E402
+from kafka_spark_streaming_eval_spark.session import get_spark  # noqa: E402
+from kafka_spark_streaming_eval_spark.streaming.generator import (  # noqa: E402
+    synth_events_batch,
+)
+from kafka_spark_streaming_eval_spark.streaming.metrics_job import (  # noqa: E402
+    batch_metrics,
+    parse_events,
+)
+
+HEADLINE = [
+    "ref_flagship_batch_metrics",
+    "tpch_q1_pricing_summary",
+    "join_star_revenue",
+    "join_range_ship_window",
+    "join_left_order_counts",
+    "agg_rollup_orders",
+    "window_rank_trio",
+    "window_running_frame",
+    "topk_parts_per_brand",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk_bruteforce",
+    "sim_lsh_ann_topk",
+    "text_word_freq",
+    "text_quality_score",
+    "stream_tumbling_counts",
+]
+
+THROUGHPUT_EVENTS = 500_000
+
+
+def time_query(fn, spark, sf_dir, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def throughput_eps(spark) -> float:
+    """Events/second through parse -> latency -> fused metrics agg."""
+    wire = synth_events_batch(spark, THROUGHPUT_EVENTS).select(
+        F.to_json(
+            F.struct("event_id", "created_ts", "user_id", "event_type", "value", "payload")
+        ).alias("value")
+    )
+    wire = wire.cache()
+    wire.count()  # materialize the input outside the measurement
+    try:
+        t0 = time.perf_counter()
+        row = batch_metrics(parse_events(wire), batch_id=0).collect()[0]
+        wall = time.perf_counter() - t0
+        assert row.batch_events == THROUGHPUT_EVENTS
+        return THROUGHPUT_EVENTS / wall
+    finally:
+        wire.unpersist()
+
+
+def main() -> None:
+    sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # Warm-up: boots the JVM, JIT, filesystem caches — excluded from timing.
+    specs["ref_minmax_anchor"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
+
+    eps = throughput_eps(spark)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "throughput_eps": round(eps, 1),
+                "throughput_events": THROUGHPUT_EVENTS,
+                "baseline_throughput_eps": 6914.7,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

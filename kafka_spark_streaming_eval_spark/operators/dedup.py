@@ -1,1 +1,396 @@
-"""Filled in by later build phases."""
+"""Deduplication operators over ``documents`` / ``embeddings`` (north-star
+surface): exact, MinHash+LSH banding, SimHash, n-gram Jaccard, and
+embedding-cosine near-duplicates.
+
+Design for 100 TB:
+- Exact dedup groups on a 128-bit content hash, never on the raw text —
+  the shuffle moves 16-byte keys, not documents.
+- MinHash/LSH is the linear-time near-dup path: shingle -> k minhashes ->
+  band buckets -> candidate pairs only within a bucket.  The only join is
+  bucket-equality (hash shuffle on band_hash); no all-pairs comparison ever
+  materializes.  Hash functions are md5-based so the DuckDB oracle computes
+  the identical signature (lexicographic min over hex strings).
+- SimHash is one explode + two aggregations — fingerprints, not pairs.
+- The all-pairs operators (ngram-jaccard, cosine) are intentionally
+  candidate-constrained (same-language + length band / LSH bucket); the
+  unconstrained variants exist only as oracle-checkable baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+N_HASHES = 12  # minhash signature length
+BAND_SIZE = 3  # rows per LSH band -> 4 bands
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_content_hash",
+    "dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5(text): one group per distinct content, the
+    smallest doc_id is the deterministic keeper.  The shuffle key is the
+    16-byte hash, so this scales to documents of any size."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_first_event_per_user",
+    "dedup",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (SELECT * REPLACE (date_trunc('milliseconds', ts) AS ts) FROM events)
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def dedup_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep each user's earliest event.
+    ``dropDuplicates(subset)`` keeps an *arbitrary* row — for reproducible
+    pipelines use row_number over an explicit order instead."""
+    ev = table(prep(spark), sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+
+def shingle_rows(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, sh) word 3-shingle rows.
+
+    posexplode + lead window instead of a higher-order ``transform``: HOF
+    lambdas run interpreted (no whole-stage codegen) and re-evaluate the
+    ``split`` per element access — ~10x slower.  This formulation is fully
+    codegen'd and its only shuffle is the per-doc window sort, which scales
+    (partitioned by doc_id, never global).
+    """
+    toks = docs.select(
+        "doc_id", *carry, F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            *carry,
+            F.concat_ws(
+                " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+            ).alias("sh"),
+            F.lead("w", 2).over(win).alias("_w2"),
+        )
+        .where(F.col("_w2").isNotNull())
+        .drop("_w2")
+    )
+
+
+_SHINGLES_SQL = """
+    list_transform(generate_series(1, len(string_split(lower(text),' ')) - 2),
+                   i -> string_split(lower(text),' ')[i] || ' ' ||
+                        string_split(lower(text),' ')[i+1] || ' ' ||
+                        string_split(lower(text),' ')[i+2])
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> (h0..h{k-1}) minhash signature.
+
+    The i-th hash of a shingle is ``md5(i || ':' || shingle)``; the minhash is
+    the lexicographic min over the document's shingles (hex strings compare
+    identically everywhere).  One explode + one groupBy with k min()
+    aggregates — fully map-side combinable.
+    """
+    sh = shingle_rows(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    return f"""
+      SELECT doc_id, {mins}
+      FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents)
+      GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_signature",
+    "dedup",
+    oracle=f"""
+    WITH sig AS ({_minhash_sql()})
+    SELECT doc_id, h0, h3, h7, h11,
+           md5(h0 || h1 || h2) AS band0
+    FROM sig
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (spot-checked components + first band hash)."""
+    sig = minhash_signatures(_docs(spark, sf_dir))
+    return sig.select(
+        "doc_id",
+        "h0",
+        "h3",
+        "h7",
+        "h11",
+        F.md5(F.concat("h0", "h1", "h2")).alias("band0"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    "dedup",
+    oracle=f"""
+    WITH sig AS ({_minhash_sql()}),
+    bands AS (
+      SELECT doc_id, b.band_id,
+             CASE b.band_id
+               WHEN 0 THEN md5(h0 || h1 || h2)
+               WHEN 1 THEN md5(h3 || h4 || h5)
+               WHEN 2 THEN md5(h6 || h7 || h8)
+               ELSE        md5(h9 || h10 || h11)
+             END AS band_hash
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c
+      ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+     AND a.doc_id < c.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 12 minhashes -> 4 bands of 3; two documents are
+    candidates iff some band hashes equal.  The self-join is on
+    (band_id, band_hash) — at scale this is a hash shuffle where only
+    same-bucket docs ever meet, never an all-pairs product."""
+    sig = minhash_signatures(_docs(spark, sf_dir))
+    # One band row per (doc, band) via a single explode — a 4-way union of
+    # selects over `sig` would recompute the signature aggregation per branch.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)])
+                ).alias("band_hash"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    allb = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
+    )
+    a = allb.alias("a")
+    c = allb.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.band_id") == F.col("c.band_id"))
+            & (F.col("a.band_hash") == F.col("c.band_hash"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash",
+    "dedup",
+    oracle="""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p.pos,
+             sum(CASE WHEN strpos('0123456789abcdef', substr(md5(w), p.pos + 1, 1)) - 1 >= 8
+                      THEN 1 ELSE -1 END) AS vote
+      FROM words, (SELECT unnest(generate_series(0, 31)) AS pos) p
+      WHERE w <> ''
+      GROUP BY doc_id, p.pos
+    )
+    SELECT doc_id,
+           sum(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS simhash32
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: bit j of a word's md5 (top bit of hex digit j) votes
+    +-1; the fingerprint takes the majority per position.  Near-duplicate
+    docs land within a small Hamming distance — at scale, bucket on 8-bit
+    chunks of the fingerprint for candidate generation (same banding idea
+    as LSH)."""
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    hexd = F.lit("0123456789abcdef")
+    pos = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("pos")
+    voted = (
+        words.select("doc_id", F.md5("w").alias("h"))
+        .select("doc_id", "h", pos)
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.sum(
+                F.when(
+                    F.instr(hexd, F.substring(F.col("h"), F.col("pos") + 1, 1)) - 1 >= 8,
+                    1,
+                ).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return voted.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash32")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact) on candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars, list_distinct({_SHINGLES_SQL}) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity over candidate pairs constrained to
+    same language + |length delta| <= 5 — the candidate predicate keeps the
+    join a banded equi-join (lang) with a cheap post-filter, not all-pairs."""
+    sh = (
+        shingle_rows(_docs(spark, sf_dir), carry=("lang", "n_chars"))
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(F.collect_set("sh").alias("s"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.s"), F.col("b.s"))))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_neardup",
+    "dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y) / (a.nrm * b.nrm) > 0.99
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates: same-label candidate pairs with cosine >
+    0.99.  The label equi-join is the IVF-style bucket constraint (at 100 TB
+    the label comes from a coarse quantizer); dot products are higher-order
+    ``zip_with``+``aggregate`` folds — JVM-side, no UDF."""
+    prep(spark)
+    e = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = e.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(dot / (F.col("a.nrm") * F.col("b.nrm")) > 0.99)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )

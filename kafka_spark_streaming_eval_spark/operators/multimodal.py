@@ -1,1 +1,178 @@
-"""Filled in by later build phases."""
+"""Multimodal columns (north-star surface): image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+pandas functions (``mapInPandas``).
+
+The container has no image/audio codecs, so the *decode* step is stubbed —
+``decode_image`` raises ``NotImplementedError`` and the pipeline runs a
+deterministic fake decoder instead.  Everything Spark-side is real and
+tested: the binary schema, the Arrow batch exchange, the UDF signatures, the
+partitioning, and the frame-chunking plumbing.
+
+Binary payloads are synthesized deterministically from ``documents.text``
+(UTF-8 bytes) so the DuckDB oracle can compute the same answers from the
+text itself.
+
+Scale notes: media blobs at 100 TB live in parquet binary columns (or
+pointers to object storage); ``mapInPandas`` streams Arrow record batches so
+peak memory is one batch, not one partition, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` caps the batch row count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+FRAME_BYTES = 64  # fake "frame" size for the chunking operator
+
+
+def decode_image(blob: bytes) -> "object":
+    """Real decoder stub: the runtime has no codecs (no PIL/cv2/ffmpeg).
+
+    On a cluster image this would be ``PIL.Image.open(io.BytesIO(blob))``
+    inside the same mapInPandas batch loop that ``fake_decode_features``
+    demonstrates — the Spark-side plumbing is identical.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no codecs in this image
+        raise NotImplementedError(
+            "image decode requires a codec library not present in this runtime"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here on a codec-enabled image")
+
+
+def with_media_blob(docs: DataFrame) -> DataFrame:
+    """Attach the synthetic media column: blob + typed metadata struct."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("blob"),
+        F.struct(
+            F.lit("application/x-fake").alias("mime"),
+            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.col("lang").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+@register(
+    "mm_blob_metadata",
+    "multimodal",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(substr(text, 1, 4)) AS magic_hex,
+           'application/x-fake' AS mime
+    FROM documents
+    """,
+)
+def mm_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: byte length, content hash, leading
+    magic bytes — the pure-projection path every media pipeline starts with."""
+    prep(spark)
+    d = with_media_blob(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("blob").alias("content_md5"),
+        F.hex(F.substring("blob", 1, 4)).alias("magic_hex"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+def make_fake_decoder():
+    """Deterministic stand-in for a media feature extractor (mapInPandas fn).
+
+    Defined NESTED so cloudpickle serializes it by value: Spark's Python
+    workers do not share the driver's ``sys.path``, so a module-level
+    function would fail to unpickle on the executors whenever this package
+    is imported from a path the workers don't have (exactly how the grading
+    driver loads it).
+    """
+
+    def fake_decode_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            blobs = pdf["blob"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len),
+                    "first_byte": blobs.map(lambda b: b[0] if len(b) else -1),
+                    "byte_sum_997": blobs.map(lambda b: sum(b) % 997),
+                }
+            )
+
+    return fake_decode_features
+
+
+@register(
+    "mm_fake_decode_features",
+    "multimodal",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> a + b) % 997 AS byte_sum_997
+    FROM documents
+    """,
+)
+def mm_fake_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column via
+    ``mapInPandas`` — the real multimodal decode path with a deterministic
+    fake decoder (oracle recomputes the same features from the source text,
+    valid because the corpus is ASCII)."""
+    prep(spark)
+    d = with_media_blob(table(spark, sf_dir, "documents"))
+    out = d.select("doc_id", "blob").mapInPandas(
+        make_fake_decoder(),
+        schema="doc_id long, n_bytes long, first_byte long, byte_sum_997 long",
+    )
+    return out
+
+
+@register(
+    "mm_frame_chunks",
+    "multimodal",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / {FRAME_BYTES})
+                AS BIGINT) AS n_frames,
+           octet_length(encode(text)) % {FRAME_BYTES} AS tail_bytes
+    FROM documents
+    """,
+)
+def mm_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: chunk each blob into fixed {FRAME_BYTES}-byte
+    "frames" (explode -> per-frame rows -> count).  This is the video
+    frame-extraction shape with a byte-slicing fake in place of a codec."""
+    prep(spark)
+    d = with_media_blob(table(spark, sf_dir, "documents"))
+    n = F.col("media_meta.n_bytes")
+    idx = F.sequence(F.lit(0), F.ceil(n.cast("double") / FRAME_BYTES).cast("long") - 1)
+    frames = d.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.explode(idx).alias("frame_id"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        "frame_id",
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(F.col("n_bytes") % FRAME_BYTES).alias("tail_bytes"),
+    )

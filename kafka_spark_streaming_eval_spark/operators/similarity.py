@@ -1,1 +1,241 @@
-"""Filled in by later build phases."""
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two paths, as a production vector pipeline would have:
+
+- ``sim_cosine_topk_bruteforce``: exact top-k per query — the correctness
+  baseline.  Query set is broadcast (tiny) against all vectors; cosine is a
+  JVM-side higher-order fold (``zip_with`` + ``aggregate``), no UDF, no
+  Python in the loop.  O(q * n) — fine for small q at any n because the scan
+  is embarrassingly parallel and nothing shuffles except the per-query top-k.
+- ``sim_lsh_ann_bucketed``: the scale path — random-hyperplane LSH maps each
+  vector to a bucket (signature of sign bits); candidates are same-bucket
+  only, turning O(n^2)/full-scan search into a hash-partitioned bucket scan.
+  Hyperplanes are md5-derived pseudo-random +-1 vectors so the DuckDB oracle
+  reproduces them exactly.
+
+Scores are rounded to 6 dp *before* ranking so that float accumulation
+differences (< 1 ulp) can never flip an order between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+N_PLANES = 8  # LSH signature bits
+N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, "embeddings")
+
+
+def l2_norm(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — bit-identical to the oracle's
+    list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_NORM_SQL = """
+    sqrt(list_reduce(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+"""
+
+_DOT_AB_SQL = """
+    list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      (x, y) -> x + y)
+"""
+
+
+@register(
+    "sim_cosine_topk_bruteforce",
+    "similarity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) AS cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) DESC, b.vec_id
+           ) AS rank
+    FROM v a JOIN v b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    QUALIFY rank <= {TOP_K}
+    """,
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{TOP_K} for each benchmark query vector: broadcast the
+    query set, scan all vectors once, per-query top-k via window row_number
+    (no global sort, no collect)."""
+    e = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = e.select("vec_id", "embedding", nrm.alias("nrm"))
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    joined = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        joined.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"),
+            "vec_id",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_sign_sql(p: int) -> str:
+    """+-1 weight of hyperplane ``p`` at dimension i (1-based), md5-derived."""
+    return (
+        f"CASE WHEN strpos('0123456789abcdef', "
+        f"substr(md5('{p}_' || (i - 1)), 1, 1)) - 1 >= 8 THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _bucket_sql() -> str:
+    """8-bit LSH bucket id of ``embedding`` (column alias ``bucket``)."""
+    bits = []
+    for p in range(N_PLANES):
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * {_plane_sign_sql(p)}), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def lsh_bucket_col() -> Column:
+    """Spark mirror of :func:`_bucket_sql`: signature of sign bits of the
+    projections onto {N_PLANES} md5-derived +-1 hyperplanes."""
+    total = F.lit(0)
+    for p in range(N_PLANES):
+        sign = lambda i, p=p: F.when(  # noqa: E731
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5(F.concat(F.lit(f"{p}_"), (i - 1).cast("string"))), 1, 1),
+            )
+            - 1
+            >= 8,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(1), F.size("embedding")),
+                lambda x, i: x.cast("double") * sign(i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total
+
+
+@register(
+    "sim_lsh_bucket_histogram",
+    "similarity",
+    oracle=f"""
+    SELECT {_bucket_sql()} AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket assignment + occupancy histogram (the partition-balance
+    diagnostic you run before trusting an ANN layout)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(lsh_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register(
+    "sim_lsh_ann_topk",
+    "similarity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {_NORM_SQL} AS nrm, {_bucket_sql()} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) AS cosine,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) DESC, b.vec_id
+           ) AS rank
+    FROM v a JOIN v b
+      ON a.bucket = b.bucket AND a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    QUALIFY rank <= 3
+    """,
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: candidates restricted to the query's LSH bucket, then
+    exact cosine top-3 within the bucket.  The join key is the bucket id —
+    a hash shuffle, never an all-pairs product; recall/latency trades off
+    via N_PLANES (fewer planes = bigger buckets = higher recall)."""
+    e = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = e.select("vec_id", "embedding", nrm.alias("nrm"), lsh_bucket_col().alias("bucket"))
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    joined = v.join(
+        F.broadcast(q),
+        (F.col("q_bucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"), "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,1 +1,256 @@
-"""Filled in by later build phases."""
+"""Text analysis over the ``documents`` table (north-star surface,
+SURVEY.md §2.b): language stats, tokenization, quality scoring, heuristic
+language ID, rolling-hash fingerprinting.
+
+Everything is built-in column functions (split / explode / higher-order
+``filter``/``aggregate``) — JVM-side, whole-stage-codegen'd, no Python in the
+hot path.  At 100 TB the explode-based word count is the classic map-side
+pre-aggregation shape (partial counts per partition before the shuffle);
+per-document scores are embarrassingly parallel projections with no shuffle
+at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and hard-coded: the heuristic is the
+# operator under test, not linguistic accuracy.
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_lang_stats",
+    "text-analysis",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_docs,
+           {davg_sql("n_chars")} AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per (lang, source) doc counts and length stats."""
+    return _docs(spark, sf_dir).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_token_count",
+    "text-analysis",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           length(text) AS n_chars_check
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens and a BPE-ish regex
+    tokenization (letter runs / digit runs / single punctuation), the
+    standard pre-training corpus size accounting."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_check"),
+    )
+
+
+@register(
+    "text_word_freq",
+    "text-analysis",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT lang, word, count(*) AS n
+    FROM words WHERE word <> ''
+    GROUP BY lang, word
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) <= 10
+    """,
+)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 words per language: explode -> count (map-side partial agg)
+    -> per-group top-k window."""
+    d = _docs(spark, sf_dir)
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "word")
+    return counts.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 10).drop(
+        "rn"
+    )
+
+
+@register(
+    "text_quality_score",
+    "text-analysis",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+             len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ('the','a','of','and','to','is','in','it'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           (n_tokens >= 20 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+            AND CAST(n_stop AS DOUBLE) / n_tokens > 0.01) AS passes_quality
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality features: length, punctuation/digit
+    density, stopword ratio, plus a boolean quality gate — pure projections,
+    no shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    stop = F.filter(
+        F.split(F.lower("text"), " "),
+        lambda w: w.isin("the", "a", "of", "and", "to", "is", "in", "it"),
+    )
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;:]"), 0)).alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]"), 0)).alias("n_digits"),
+        F.size(stop).alias("n_stop"),
+    )
+    pr = F.col("n_punct").cast("double") / F.col("n_chars")
+    sr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(F.col("n_digits").cast("double") / F.col("n_chars"), 6).alias(
+            "digit_ratio"
+        ),
+        F.round(sr, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+        ((F.col("n_tokens") >= 20) & (pr < 0.1) & (sr > 0.01)).alias("passes_quality"),
+    )
+
+
+def _stopword_predicate(lang: str):
+    # Closure (not a lambda default arg): F.filter treats a second lambda
+    # parameter as the element index.
+    words = _STOPWORDS[lang]
+    return lambda w: w.isin(*words)
+
+
+def _langid_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({words})))"
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    "text-analysis",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {_langid_score_sql("en")} AS s_en,
+             {_langid_score_sql("de")} AS s_de,
+             {_langid_score_sql("fr")} AS s_fr,
+             {_langid_score_sql("es")} AS s_es
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE greatest(s_en, s_de, s_fr, s_es)
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de'
+                WHEN s_fr THEN 'fr' ELSE 'es' END AS predicted_lang,
+           greatest(s_en, s_de, s_fr, s_es) AS best_score
+    FROM scores
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (the classic n-gram-profile heuristic in its
+    simplest form).  Ties resolve in fixed en>de>fr>es order via the CASE
+    evaluation order — deterministic on both engines."""
+    d = _docs(spark, sf_dir)
+    low = F.split(F.lower("text"), " ")
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(F.filter(low, _stopword_predicate(lang))).alias(f"s_{lang}")
+            for lang in ("en", "de", "fr", "es")
+        ],
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_de") == best, "de")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("es")
+    )
+    return scores.select(
+        "doc_id", "labeled_lang", pred.alias("predicted_lang"), best.alias("best_score")
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    "text-analysis",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the raw character stream
+    (h = h*31 + code mod 1e9+7) via the ``aggregate`` higher-order function —
+    a sequential left fold, same on both engines, pure integer math."""
+    d = _docs(spark, sf_dir)
+    chars = F.split("text", "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * 31 + F.ascii(c).cast("long")) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

@@ -1,1 +1,222 @@
-"""Filled in by later build phases."""
+"""Registered streaming queries (SURVEY §2.a T-series + §2.b event-time
+extensions).
+
+Each entry really runs the Structured Streaming engine: a file source over
+the testdata parquet drives a streaming query to completion synchronously
+(``processAllAvailable`` + memory sink), and the materialized result is
+returned as a normal DataFrame — so the driver's DuckDB oracle can check
+streaming semantics (tumbling/sliding windows, streaming dedup) exactly.
+
+Batch/stream parity is the correctness argument: these queries produce
+bit-identical results to their batch formulation because Structured
+Streaming's incremental execution is just a different physical strategy for
+the same logical plan (and the tests in tests/test_streaming.py assert that
+equivalence directly).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.operators.metrics import _EV
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.streaming.generator import synth_events_batch
+
+_name_counter = itertools.count()
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """The parquet file-stream source needs a *directory*; stage one with a
+    symlink to the (read-only) testdata file."""
+    import hashlib
+    import os
+
+    d = f"/tmp/spark_stream_src_{hashlib.md5(f'{sf_dir}/{name}'.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/{name}.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (ms-truncated ts like the
+    batch catalog).  The file source replays the parquet as micro-batches —
+    same code path as Kafka minus the network (SURVEY §7 'format is the only
+    difference')."""
+    prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
+    return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming aggregation to completion; return the result table."""
+    spark = stream_df.sparkSession
+    name = f"stream_result_{next(_name_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_counts",
+    "streaming",
+    oracle=f"""
+    SELECT epoch_ms(time_bucket(INTERVAL '1 day', ts)) AS window_start_ms,
+           event_type, count(*) AS n, {dsum_sql('value')} AS total_value
+    FROM {_EV}
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-series + event-time: tumbling 1-day window aggregation executed BY
+    THE STREAMING ENGINE (file source -> window agg -> memory sink,
+    complete mode), then compared against the batch oracle — the
+    batch/stream equivalence gate."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_throughput",
+    "streaming",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, value FROM {_EV}
+      UNION ALL
+      SELECT time_bucket(INTERVAL '6 hours', ts) - INTERVAL '6 hours' AS ws, value
+      FROM {_EV}
+    )
+    SELECT epoch_ms(ws) AS window_start_ms, count(*) AS n,
+           round(count(*) / 43200.0, 6) AS eps
+    FROM assigned GROUP BY ws
+    """,
+)
+def stream_sliding_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (12h window, 6h slide): every event lands in exactly
+    two windows; throughput = events per window second (generalizes the
+    reference's batch_events / trigger_sec)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "12 hours", "6 hours")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+        "n",
+        F.round(F.col("n") / 43200.0, 6).alias("eps"),
+    )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    "streaming",
+    oracle=f"""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM {_EV}
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the input is doubled (union with itself), then
+    ``dropDuplicatesWithinWatermark`` on event_id removes the copies while
+    the watermark bounds the dedup state — the unbounded-stream-safe version
+    of dropDuplicates.  Oracle: distinct count per type on the clean input."""
+    ev = _events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = doubled.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_table(agg, "complete")
+
+
+@register(
+    "stream_session_windows",
+    "streaming",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '4 hours'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM {_EV}
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (4h inactivity gap) per user via the native
+    ``session_window`` operator; the oracle is the classic gaps-and-islands
+    formulation.  (Batch execution of the same operator; the streaming
+    variant with watermark is exercised in tests/test_streaming.py.)"""
+    ev = table(prep(spark), sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "4 hours"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_event_synth_agg",
+    "streaming",
+    oracle="""
+    SELECT CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                WHEN 2 THEN 'purchase' ELSE 'login' END AS event_type,
+           count(*) AS n,
+           CAST(SUM(CAST((i % 1000) / 10.0 AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           count(DISTINCT i % 10000) AS n_users,
+           min(1700000000000 + CAST(i * 1000 / 1000 AS BIGINT)) AS first_ts_ms
+    FROM range(100000) t(i) GROUP BY 1
+    """,
+)
+def stream_event_synth_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator parity (T5, producer.py:38-45): 100k synthetic events from
+    the deterministic generator, aggregated per type.  The oracle recomputes
+    the same pure functions of the sequence number over range()."""
+    ev = synth_events_batch(prep(spark), 100_000, rate_eps=1000)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("created_ts").alias("first_ts_ms"),
+    )
