@@ -77,4 +77,4 @@ def _load_all() -> None:
     )
     from kafka_spark_streaming_eval_spark.functions import udfs  # noqa: F401
     from kafka_spark_streaming_eval_spark.sources import readers  # noqa: F401
-    from kafka_spark_streaming_eval_spark.streaming import queries  # noqa: F401
+    from kafka_spark_streaming_eval_spark.streaming import queries, stateful  # noqa: F401

@@ -79,3 +79,38 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scanned.groupBy("config").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("n").alias("total_events")
     )
+
+
+@register(
+    "src_partition_pruned_scan",
+    "sources",
+    oracle=f"""
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM {_EV}
+    WHERE event_type = 'click'
+    GROUP BY epoch_ms(date_trunc('day', ts))
+    """,
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout + partition pruning: write ``events``
+    partitioned by ``event_type`` (the 100 TB layout — a predicate on the
+    partition column prunes whole directories before any I/O), read it back
+    filtered to one partition, and summarize per day.
+
+    The physical plan shows the predicate under ``PartitionFilters`` (file
+    listing, zero data read for other partitions), not a post-scan Filter —
+    asserted in tests.  The oracle recomputes from the raw table, proving
+    the partitioned round-trip is lossless."""
+    base = "/tmp/events_by_type_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(base, ignore_errors=True)
+    ev = table(prep(spark), sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    back = spark.read.parquet(base).where(F.col("event_type") == "click")
+    return back.groupBy(
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

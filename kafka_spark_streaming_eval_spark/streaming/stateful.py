@@ -1,0 +1,98 @@
+"""Custom stateful streaming operator: ``applyInPandasWithState``.
+
+The reference's only streaming state is the checkpoint WAL (offset tracking,
+spark_stream_metrics.py:81); it has no user-level state.  This module adds
+the engine's arbitrary-stateful extension point — a per-key running counter
+maintained across micro-batches — the building block for sessionization,
+per-user rate limiting, and incremental dedup at 100 TB.
+
+Scale shape: state lives in the executor state store partitioned by group
+key (hash shuffle on ``user_id``), checkpointed incrementally; each
+micro-batch touches only the keys present in that batch.  The Python kernel
+receives one group's batch rows as Arrow-backed pandas frames — vectorized,
+no per-row boundary crossing.
+
+Correctness: the query runs a deterministic multi-batch file stream
+(``maxFilesPerTrigger=1`` over a fixed 4-file layout), and the final state
+per key must equal the batch answer ``count(*) GROUP BY user_id`` — which is
+exactly the DuckDB oracle.  Emitted counts are monotone per key, so
+``max`` over the update-mode emissions recovers the final state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+
+def running_count_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming per-user running event count over a parquet file stream,
+    one file per micro-batch, state carried across batches."""
+
+    def update_count(key, pdfs, state):
+        import pandas as pd
+
+        (total,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_count,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_stateful_running_count",
+    "streaming",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` end-to-end: 4 deterministic micro-batches,
+    per-user counter state carried across them; the final state (max of the
+    monotone update emissions) must equal the batch ``count(*)`` — proving
+    exactly-once state accumulation across batch boundaries."""
+    spark = prep(spark)
+    base = "/tmp/stateful_src_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(base, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id")
+    ev.repartition(4).write.mode("overwrite").parquet(base)
+
+    name = "stateful_out_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    q = (
+        running_count_stream(spark, base)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    emitted = spark.table(name)
+    return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the scale properties the engine relies on at
+100 TB must be visible in the optimized plan at any SF — partition pruning,
+predicate pushdown into the parquet scan, broadcast joins for dimensions,
+and no accidental cartesian products anywhere in the registry."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
+
+SPECS = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partition_pruning(spark):
+    """The event_type predicate lands in PartitionFilters (directory-level
+    pruning), not a post-scan Filter over all rows."""
+    df = SPECS["src_partition_pruned_scan"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
+
+
+def test_predicate_pushdown_q1(spark):
+    """TPC-H Q1's shipdate filter reaches the parquet scan."""
+    df = SPECS["tpch_q1_pricing_summary"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p for p in pushed), plan[:2000]
+
+
+def test_star_join_broadcasts(spark):
+    """Every dimension in the star join is broadcast — no sort-merge shuffle
+    of the fact table against a dimension."""
+    df = SPECS["join_star_revenue"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in SPECS if n not in ("stream_stateful_running_count",))
+)
+def test_no_cartesian_product(name, spark):
+    """No registry query may degenerate into CartesianProduct.  (The
+    stateful-streaming query is excluded: it must actually RUN a streaming
+    query to return a DataFrame, which this sweep shouldn't trigger.)"""
+    df = SPECS[name].fn(spark, SF_DIR)
+    assert "CartesianProduct" not in plan_of(df)
