@@ -88,30 +88,27 @@ def dedup_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_rows(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, sh) word 3-shingle rows.
+    """(doc_id, sh) word 3-shingle rows — zero shuffles.
 
-    posexplode + lead window instead of a higher-order ``transform``: HOF
-    lambdas run interpreted (no whole-stage codegen) and re-evaluate the
-    ``split`` per element access — ~10x slower.  This formulation is fully
-    codegen'd and its only shuffle is the per-doc window sort, which scales
-    (partitioned by doc_id, never global).
+    The token array is materialized once per row, shingles come from a
+    higher-order ``transform`` over the index range, then one explode.  The
+    HOF lambda runs interpreted, but it only does 3 array reads + a concat
+    (the earlier window-based formulation needed a per-doc sort shuffle,
+    which at 100 TB is the difference between a map-only stage and a full
+    repartition of the corpus).  Documents with fewer than 3 tokens yield no
+    shingles (the ``when`` guard — ``sequence(0, -1)`` would count DOWN).
     """
-    toks = docs.select(
-        "doc_id", *carry, F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
-    )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.select(
-            "doc_id",
-            *carry,
-            F.concat_ws(
-                " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
-            ).alias("sh"),
-            F.lead("w", 2).over(win).alias("_w2"),
-        )
-        .where(F.col("_w2").isNotNull())
-        .drop("_w2")
-    )
+    toks = docs.select("doc_id", *carry, F.split(F.lower("text"), " ").alias("_t"))
+    sh_arr = F.when(
+        F.size("_t") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - 3),
+            lambda i: F.concat_ws(
+                " ", F.col("_t")[i], F.col("_t")[i + 1], F.col("_t")[i + 2]
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return toks.select("doc_id", *carry, F.explode(sh_arr).alias("sh"))
 
 
 _SHINGLES_SQL = """
@@ -195,9 +192,17 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: 12 minhashes -> 4 bands of 3; two documents are
-    candidates iff some band hashes equal.  The self-join is on
-    (band_id, band_hash) — at scale this is a hash shuffle where only
-    same-bucket docs ever meet, never an all-pairs product."""
+    candidates iff some band hashes equal.
+
+    Pair generation is groupBy-bucket + in-bucket pair expansion, NOT a
+    self-join: a self-join would execute the whole shingle->signature
+    pipeline twice (Spark doesn't share lineage between join sides), and at
+    100 TB that's two full corpus scans instead of one.  Here signatures are
+    computed once, shuffled once on (band_id, band_hash), and each bucket
+    emits its own pairs via higher-order functions.  Bucket fan-out is
+    quadratic in bucket size — the standard LSH caveat; a degenerate
+    all-identical corpus needs a bucket-size cap or a secondary hash, which
+    is a policy choice left to the caller."""
     sig = minhash_signatures(_docs(spark, sf_dir))
     # One band row per (doc, band) via a single explode — a 4-way union of
     # selects over `sig` would recompute the signature aggregation per branch.
@@ -215,16 +220,24 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     allb = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
         "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
     )
-    a = allb.alias("a")
-    c = allb.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.band_id") == F.col("c.band_id"))
-            & (F.col("a.band_hash") == F.col("c.band_hash"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
+    buckets = (
+        allb.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    # All ordered pairs within a bucket: for ids[i], pair with every later id.
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
