@@ -169,10 +169,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    "dedup",
-    oracle=f"""
+_LSH_PAIRS_SQL = f"""
     WITH sig AS ({_minhash_sql()}),
     bands AS (
       SELECT doc_id, b.band_id,
@@ -188,11 +185,11 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands a JOIN bands c
       ON a.band_id = c.band_id AND a.band_hash = c.band_hash
      AND a.doc_id < c.doc_id
-    """,
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: 12 minhashes -> 4 bands of 3; two documents are
-    candidates iff some band hashes equal.
+"""
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs, doc_a < doc_b, distinct.
 
     Pair generation is groupBy-bucket + in-bucket pair expansion, NOT a
     self-join: a self-join would execute the whole shingle->signature
@@ -203,7 +200,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in bucket size — the standard LSH caveat; a degenerate
     all-identical corpus needs a bucket-size cap or a secondary hash, which
     is a policy choice left to the caller."""
-    sig = minhash_signatures(_docs(spark, sf_dir))
+    sig = minhash_signatures(docs)
     # One band row per (doc, band) via a single explode — a 4-way union of
     # selects over `sig` would recompute the signature aggregation per branch.
     band_structs = F.array(
@@ -239,6 +236,89 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
+    )
+
+
+@register("dedup_minhash_lsh_pairs", "dedup", oracle=_LSH_PAIRS_SQL)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: 12 minhashes -> 4 bands of 3; two documents are
+    candidates iff some band hashes equal.  See :func:`lsh_candidate_pairs`
+    for the single-scan pair-generation design."""
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_cluster_components",
+    "dedup",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, min(v) AS component_id, count(*) AS n_reachable
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph — the step that
+    turns pairwise near-dup hits into dedup *clusters* (keep one doc per
+    component).  Iterative min-label propagation: each round every node
+    adopts the smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are small and dense, so
+    typically 2-3).
+
+    Scale shape: each round is one equi-join (edges x labels, hash-shuffled
+    on the node id) + one groupBy — no collect of edges or labels to the
+    driver; the driver only sees the 1-row convergence count.
+    ``localCheckpoint`` truncates the growing lineage each round (the
+    standard iterative-algorithm pattern; on a cluster use reliable
+    checkpointing).  ``n_reachable`` (component size seen from each node)
+    doubles as a verification the propagation reached the full component —
+    the oracle computes it from the recursive closure."""
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir))
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # pairs computed once, reused every round
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    for _ in range(30):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # Component size per node == nodes sharing the label (a broadcastable agg).
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_reachable"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        "n_reachable",
     )
 
 

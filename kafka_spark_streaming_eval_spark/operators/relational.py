@@ -740,3 +740,152 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_partial"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics beyond Q1 (multi-join planning evidence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    "relational",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           epoch_ms(o.o_orderdate) AS orderdate_ms,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate_ms, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (testdata lacks o_shippriority; o_orderpriority stands
+    in): selective dim filter -> broadcast -> fact-fact join -> agg -> global
+    top-10.  The limit executes as per-partition TakeOrdered + k-row driver
+    merge — no global sort.  Ties broken by (orderdate, orderkey) so the
+    10-row cut is deterministic on both engines."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "orderdate_ms", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    "relational",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join with the customer-nation == supplier-nation
+    co-location predicate.  Dims (customer, supplier, nation, region)
+    broadcast; the only shuffle is lineitem x orders on orderkey + the final
+    tiny groupBy(n_name)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + exact percentiles (training-pipeline staples)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_deterministic_hash",
+    "relational",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample: keep rows whose md5(key) starts with 0 or 1.
+    Unlike ``df.sample`` (seeded per-partition RNG — different rows under any
+    repartition), a hash sample is stable across engines, runs, and cluster
+    layouts — the reproducibility property a training-data pipeline needs.
+    Map-only, no shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "agg_percentiles_exact",
+    "relational",
+    oracle="""
+    SELECT event_type,
+           list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.95]),
+                          x -> round(x, 6)) AS value_quartiles,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based) per group — the ground truth the
+    reference's approxQuantile (A2) trades away.  Both engines use linear
+    interpolation between order statistics; results rounded to 6 dp before
+    compare.  At 100 TB exact percentiles force a per-group sort, which is
+    why production stats stay on percentile_approx sketches (the
+    ``ref_flagship_batch_metrics`` path)."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return ev.groupBy("event_type").agg(
+        F.transform(pct, lambda x: F.round(x, 6)).alias("value_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
