@@ -36,6 +36,8 @@ from kafka_spark_streaming_eval_spark.streaming.metrics_job import (  # noqa: E4
 HEADLINE = [
     "ref_flagship_batch_metrics",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
     "join_star_revenue",
     "join_range_ship_window",
     "join_left_order_counts",
@@ -44,6 +46,7 @@ HEADLINE = [
     "window_running_frame",
     "topk_parts_per_brand",
     "dedup_minhash_lsh_pairs",
+    "dedup_cluster_components",
     "dedup_simhash",
     "sim_cosine_topk_bruteforce",
     "sim_lsh_ann_topk",
