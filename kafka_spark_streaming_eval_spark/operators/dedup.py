@@ -296,22 +296,19 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the old label through the update so the convergence check is
+        # a filter over the checkpointed frame, not another join+job.
+        upd = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = upd.select("node", "label")
+        if upd.where(F.col("label") != F.col("old_label")).count() == 0:
             break
     # Component size per node == nodes sharing the label (a broadcastable agg).
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_reachable"))

@@ -889,3 +889,33 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(pct, lambda x: F.round(x, 6)).alias("value_quartiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    "relational",
+    oracle=f"""
+    SELECT event_type, count(*) AS n, {dsum_sql('value')} AS total_value
+    FROM {_EV} GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the manual skew-mitigation pattern for
+    when one group key dominates (event_type has 4 values; at 100 TB one hot
+    key would pin a single reducer).  Stage 1 groups on (key, salt) spreading
+    each hot key over 16 reducers; stage 2 merges the 16 partials per key.
+    Partial sums stay DECIMAL until the final cast, so the result is
+    bit-identical to the unsalted oracle regardless of how rows distribute
+    over salts.  (AQE's skewedJoin/partition splitting handles this
+    automatically for joins; explicit salting remains the tool for
+    aggregations with pathological key skew.)"""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
-from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
 from kafka_spark_streaming_eval_spark.session import prep
@@ -219,4 +219,45 @@ def stream_event_synth_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
         F.min("created_ts").alias("first_ts_ms"),
+    )
+
+
+@register(
+    "stream_static_enrich_join",
+    "streaming",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, {davg_sql('value')} AS avg_value FROM {_EV} GROUP BY event_type
+    )
+    SELECT e.event_type,
+           epoch_ms(time_bucket(INTERVAL '1 day', e.ts)) AS day_ms,
+           count(*) FILTER (WHERE e.value > s.avg_value) AS n_above_avg,
+           count(*) AS n
+    FROM {_EV} e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming events join a static
+    (batch-computed) per-type profile via broadcast — the standard dimension
+    -enrichment shape; the static side is re-read per micro-batch, never
+    shuffled against the stream.  Windowed agg counts events above their
+    type's historical average.  The average is decimal-exact (davg) so both
+    engines compare the same bits."""
+    ev_static = table(prep(spark), sf_dir, "events")
+    stats = ev_static.groupBy("event_type").agg(davg("value").alias("avg_value"))
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(stats), "event_type")
+    agg = enriched.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.sum(F.when(F.col("value") > F.col("avg_value"), 1).otherwise(0)).alias(
+            "n_above_avg"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "event_type",
+        F.unix_millis(F.col("window.start")).alias("day_ms"),
+        "n_above_avg",
+        "n",
     )
