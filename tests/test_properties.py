@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the engine's cross-cutting
+invariants — the properties that make results reproducible on a cluster:
+
+- determinism of decimal-backed float aggregation under ANY partitioning /
+  row order (the property the oracle hash comparison relies on),
+- shingling matches a pure-Python specification,
+- deterministic hash sampling is invariant under repartitioning,
+- exact duplicate documents always become LSH candidate pairs (recall=1
+  for true duplicates — the minimum guarantee a dedup pipeline must keep).
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+@SLOW
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=200,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_dsum_partition_invariant(sp, values, nparts):
+    """dsum bits never depend on partitioning or row order."""
+    from kafka_spark_streaming_eval_spark.functions.numeric import dsum
+
+    df = sp.createDataFrame([(v,) for v in values], "v double")
+    a = df.repartition(nparts).agg(dsum("v").alias("s")).collect()[0].s
+    b = df.coalesce(1).agg(dsum("v").alias("s")).collect()[0].s
+    rev = sp.createDataFrame([(v,) for v in reversed(values)], "v double")
+    c = rev.repartition(max(1, nparts - 1)).agg(dsum("v").alias("s")).collect()[0].s
+    assert a == b == c  # exact bit equality, not approx
+
+
+@SLOW
+@given(
+    tokens=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=0, max_size=12
+    )
+)
+def test_shingles_match_python_spec(sp, tokens):
+    """shingle_rows == the 3-window specification, including <3-token docs."""
+    from kafka_spark_streaming_eval_spark.operators.dedup import shingle_rows
+
+    text = " ".join(tokens)
+    # the operator lowercases and splits on single spaces
+    toks = text.lower().split(" ")
+    expected = sorted(
+        " ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))
+    )
+    df = sp.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(r.sh for r in shingle_rows(df).collect())
+    assert got == expected
+
+
+@SLOW
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300),
+    nparts=st.integers(min_value=1, max_value=8),
+)
+def test_hash_sample_repartition_invariant(sp, ids, nparts):
+    """The md5 sample keeps exactly the same ids whatever the layout."""
+    df = sp.createDataFrame([(i,) for i in set(ids)], "event_id long")
+    pred = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1")
+    a = sorted(r.event_id for r in df.where(pred).collect())
+    b = sorted(r.event_id for r in df.repartition(nparts).where(pred).collect())
+    assert a == b
+
+
+def test_exact_duplicates_always_pair(spark):
+    """Two byte-identical documents share every minhash band -> always a
+    candidate pair (LSH recall is 1.0 for true duplicates)."""
+    from kafka_spark_streaming_eval_spark.operators.dedup import lsh_candidate_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(a < b for a, b in pairs)
