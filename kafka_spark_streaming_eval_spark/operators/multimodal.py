@@ -176,3 +176,51 @@ def mm_frame_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.max(F.col("n_bytes") % FRAME_BYTES).alias("tail_bytes"),
     )
+
+
+@register(
+    "mm_resize_downsample",
+    "multimodal",
+    oracle="""
+    WITH small AS (
+      SELECT doc_id, text,
+             array_to_string(list_transform(generate_series(1, length(text), 4),
+                                            i -> substr(text, i, 1)), '') AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           octet_length(encode(text)) AS orig_bytes,
+           octet_length(encode(s)) AS resized_bytes,
+           md5(s) AS resized_md5
+    FROM small
+    """,
+)
+def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: 4x byte-downsample of each blob inside a
+    ``mapInPandas`` kernel (the image-resize shape with byte-striding in
+    place of a resampling codec).  The oracle recomputes the stride from the
+    source text (valid because the corpus is ASCII), proving the Python
+    kernel saw exactly the blob bytes and nothing else."""
+    prep(spark)
+    d = with_media_blob(table(spark, sf_dir, "documents"))
+
+    def resize_kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in it:
+            small = pdf["blob"].map(lambda b: b[::4])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["blob"].map(len),
+                    "resized_bytes": small.map(len),
+                    "resized_md5": small.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return d.select("doc_id", "blob").mapInPandas(
+        resize_kernel,
+        schema="doc_id long, orig_bytes long, resized_bytes long, resized_md5 string",
+    )
