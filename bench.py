@@ -55,7 +55,7 @@ HEADLINE = [
     "stream_tumbling_counts",
 ]
 
-THROUGHPUT_EVENTS = 500_000
+THROUGHPUT_EVENTS = 1_000_000
 
 
 def time_query(fn, spark, sf_dir, runs: int = 2) -> float:
@@ -77,11 +77,14 @@ def throughput_eps(spark) -> float:
     wire = wire.cache()
     wire.count()  # materialize the input outside the measurement
     try:
-        t0 = time.perf_counter()
-        row = batch_metrics(parse_events(wire), batch_id=0).collect()[0]
-        wall = time.perf_counter() - t0
-        assert row.batch_events == THROUGHPUT_EVENTS
-        return THROUGHPUT_EVENTS / wall
+        best = 0.0
+        for _ in range(2):  # first pass doubles as warm-up (BASELINE methodology)
+            t0 = time.perf_counter()
+            row = batch_metrics(parse_events(wire), batch_id=0).collect()[0]
+            wall = time.perf_counter() - t0
+            assert row.batch_events == THROUGHPUT_EVENTS
+            best = max(best, THROUGHPUT_EVENTS / wall)
+        return best
     finally:
         wire.unpersist()
 
