@@ -424,11 +424,13 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,4)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty,
            CAST(sum(CAST(l_quantity AS DECIMAL(38,4)))
-                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS qty_3row
     FROM lineitem
@@ -436,8 +438,17 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + 3-row sliding frame per supplier (explicit rowsBetween
-    frames).  Decimal accumulator keeps the running sum order-independent."""
-    base = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    frames).  Decimal accumulator keeps the running sum order-independent.
+
+    The synthetic lineitem has no unique row key — (l_orderkey, l_linenumber)
+    repeats — so the ROWS ordering ends with l_quantity: any rows still tied
+    are then interchangeable (same quantity -> every frame sum is invariant
+    under their order), which makes the result a well-defined multiset on
+    both engines.  Found by the sf0.1 sweep; at sf<=0.01 the collision never
+    materialized."""
+    base = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     qty = F.col("l_quantity").cast("decimal(38,4)")
     return _t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
