@@ -89,6 +89,72 @@ def throughput_eps(spark) -> float:
         wire.unpersist()
 
 
+def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 12.0):
+    """exp1 methodology, live: rate source at ``rate_eps`` (≈7x the
+    reference's saturation point) -> wire JSON -> parse -> fused per-batch
+    metrics, 1 s triggers.  First batches are warm-up (BASELINE excluded
+    120 s of a 360 s run; we exclude the first 3 of ~12).  Returns sustained
+    events/s and the mean per-batch p95 end-to-end latency — the two
+    headline numbers of BASELINE exp1."""
+    import shutil
+    import tempfile
+
+    from kafka_spark_streaming_eval_spark.streaming.generator import synth_events_stream
+    from kafka_spark_streaming_eval_spark.streaming.metrics_job import (
+        MetricsCollector,
+        run_metrics_stream,
+    )
+
+    ev = synth_events_stream(spark, rows_per_second=rate_eps)
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.unix_millis("ts").alias("created_ts"),  # real emission time
+                "user_id",
+                "event_type",
+                "value",
+                "payload",
+            )
+        ).alias("value")
+    )
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    collector = MetricsCollector()
+    query, sink = run_metrics_stream(
+        parse_events(wire), ckpt, trigger_sec=1, collector=collector
+    )
+    time.sleep(run_s)
+    query.stop()
+    query.awaitTermination()
+    t_kill = time.time()
+
+    rows = [r for r in sink.rows if r.batch_events > 0]
+    measured = rows[3:] if len(rows) > 4 else rows
+    span_s = max(measured[-1].epoch_sec - measured[0].epoch_sec, 1) if measured else 1
+    sustained = sum(r.batch_events for r in measured) / span_s if measured else 0.0
+    p95 = (
+        sum(r.p95_latency_ms for r in measured) / len(measured) if measured else -1.0
+    )
+
+    # exp3: restart from the checkpoint, recovery gap = kill -> first
+    # recovered batch (the reference measured 47 s with manual restart).
+    collector2 = MetricsCollector()
+    query2, sink2 = run_metrics_stream(
+        parse_events(wire), ckpt, trigger_sec=1, collector=collector2
+    )
+    recovery_s = -1.0
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if sink2.rows:
+            recovery_s = time.time() - t_kill
+            break
+        time.sleep(0.1)
+    query2.stop()
+    query2.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return sustained, p95, recovery_s
+
+
 def main() -> None:
     sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -103,6 +169,7 @@ def main() -> None:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
 
     eps = throughput_eps(spark)
+    stream_eps, stream_p95, recovery_s = streaming_live(spark)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -114,7 +181,13 @@ def main() -> None:
                 "sf": sf,
                 "throughput_eps": round(eps, 1),
                 "throughput_events": THROUGHPUT_EVENTS,
+                "stream_input_eps": 50000,
+                "stream_sustained_eps": round(stream_eps, 1),
+                "stream_p95_latency_ms": round(stream_p95, 1),
+                "recovery_s": round(recovery_s, 2),
                 "baseline_throughput_eps": 6914.7,
+                "baseline_p95_latency_ms": 4704.0,
+                "baseline_recovery_s": 47.0,
             }
         )
     )
