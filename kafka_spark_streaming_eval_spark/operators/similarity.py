@@ -243,3 +243,142 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+N_PROBE = 2  # IVF cells probed per query
+
+
+@register(
+    "sim_ivf_topk",
+    "similarity",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS c
+      FROM dims GROUP BY label, d
+    ),
+    centv AS (
+      SELECT label, list(c ORDER BY d) AS centroid,
+             sqrt(list_reduce(list_transform(list(c ORDER BY d), v -> v * v),
+                              (a, b) -> a + b)) AS cnrm
+      FROM cent GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, {_NORM_SQL} AS q_nrm
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    qc AS (
+      SELECT q.query_id, cv.label,
+             round(list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                     i -> CAST(q.q_emb[i] AS DOUBLE) * cv.centroid[i]),
+                   (x, y) -> x + y) / (q.q_nrm * cv.cnrm), 6) AS csim
+      FROM q CROSS JOIN centv cv
+    ),
+    probe AS (
+      SELECT query_id, label FROM qc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY csim DESC, label) <= {N_PROBE}
+    ),
+    v AS (
+      SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embeddings
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, len(q.q_emb)),
+                     i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) / (q.q_nrm * b.nrm), 6) AS cosine
+      FROM probe p
+      JOIN v b ON b.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE b.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the ``label`` column is the coarse quantizer (at 100 TB
+    it comes from k-means over a sample); cell centroids are decimal-exact
+    per-dimension means, each query probes its {N_PROBE} nearest cells by
+    centroid cosine, and exact cosine top-3 runs only inside probed cells.
+
+    Scale shape: centroids are one explode + groupBy (tiny result, broadcast
+    everywhere); the candidate scan is an equi-join on label — with
+    label-partitioned storage only probed cells are even read (partition
+    pruning).  Complements the LSH path: IVF recall degrades gracefully via
+    N_PROBE instead of N_PLANES.
+
+    Determinism: float -> DECIMAL(38,6) rounding is unambiguous (no binary
+    float sits on a decimal midpoint), so centroids are bit-identical on
+    both engines; all similarities round to 6 dp before ranking with full
+    tie-breaks."""
+    e = _emb(spark, sf_dir)
+    dims = e.select("label", F.posexplode("embedding").alias("d", "x"))
+    cent = dims.groupBy("label", "d").agg(
+        (F.sum(F.col("x").cast("decimal(38,6)")).cast("double") / F.count("x")).alias("c")
+    )
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select("label", F.transform("dc", lambda s: s.getField("c")).alias("centroid"))
+        .select(
+            "label",
+            "centroid",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("centroid", lambda v: v * v),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                )
+            ).alias("cnrm"),
+        )
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        nrm.alias("q_nrm"),
+    )
+    qc = q.crossJoin(F.broadcast(centv)).select(
+        "query_id",
+        "label",
+        F.round(
+            dot(F.col("q_emb"), F.col("centroid")) / (F.col("q_nrm") * F.col("cnrm")), 6
+        ).alias("csim"),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("csim").desc(), "label")
+    probe = (
+        qc.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= N_PROBE)
+        .select("query_id", "label")
+    )
+    v = e.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    cands = (
+        v.join(F.broadcast(probe), "label")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        cands.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
