@@ -74,6 +74,7 @@ def _load_all() -> None:
         relational,
         similarity,
         text,
+        tpch,
     )
     from kafka_spark_streaming_eval_spark.functions import udfs  # noqa: F401
     from kafka_spark_streaming_eval_spark.sources import readers  # noqa: F401
