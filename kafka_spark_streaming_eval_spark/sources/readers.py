@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
+
+_DSUM_REV = dsum_sql("l_extendedprice * (1 - l_discount)")
 from kafka_spark_streaming_eval_spark.plans.registry import register
 from kafka_spark_streaming_eval_spark.session import prep
 
@@ -113,4 +116,71 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persist orders and lineitem bucketed (8 buckets) + sorted on their
+    join key as external tables; returns the two table names.  Idempotent
+    per sf_dir."""
+    prep(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
+    for name, tbl, key in zip(names, ("orders", "lineitem"), ("o_orderkey", "l_orderkey")):
+        if spark.catalog.tableExists(name):
+            continue
+        path = f"/tmp/bucketed_{tag}/{tbl}"
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    return names
+
+
+@register(
+    "src_bucketed_colocated_join",
+    "sources",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice,
+           {_DSUM_REV} AS revenue, count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) > 300000
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB fact-fact join layout: both tables stored bucketed+sorted
+    on the join key, so the orders↔lineitem join needs NO shuffle and NO
+    sort — each task merge-joins bucket i of both tables straight off disk.
+    The groupBy on the same key then reuses the join's output partitioning,
+    so the whole plan (scan → join → agg) runs with ZERO exchanges
+    (asserted in tests/test_plans.py).  At 100 TB this is the difference
+    between re-shuffling ~30 TB per join and none; the one-time bucketed
+    write amortizes over every subsequent join/agg on the key.
+
+    The ``merge`` hint pins sort-merge (broadcast would hide the property
+    being demonstrated at test scale); AQE leaves pinned SMJs alone."""
+    ob, lb = write_bucketed_tables(spark, sf_dir)
+    o = spark.table(ob).hint("merge")
+    li = spark.table(lb)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(rev.cast("decimal(38,6)")).alias("_r"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .where(F.col("_r") > 300000)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_r").cast("double").alias("revenue"),
+            "n_lines",
+        )
     )

@@ -59,3 +59,16 @@ def test_no_cartesian_product(name, spark):
     query to return a DataFrame, which this sweep shouldn't trigger.)"""
     df = SPECS[name].fn(spark, SF_DIR)
     assert "CartesianProduct" not in plan_of(df)
+
+
+def test_bucketed_join_no_exchange(spark):
+    """The bucketed co-located join's EXECUTED plan (post-AQE) contains a
+    SortMergeJoin and zero Exchange nodes: scan -> join -> same-key agg all
+    reuse the on-disk bucketing.  This is the property that makes fact-fact
+    joins shuffle-free at 100 TB."""
+    df = SPECS["src_bucketed_colocated_join"].fn(spark, SF_DIR)
+    df.collect()  # finalize AQE so the executed plan is the real one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert "SelectedBucketsCount" in plan, plan[:2000]
