@@ -261,3 +261,63 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_above_avg",
         "n",
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    "streaming",
+    oracle=f"""
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           c.user_id,
+           epoch_ms(c.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM {_EV} c JOIN {_EV} v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time interval condition: every
+    click pairs with the same user's views from the preceding 6 hours —
+    the attribution-join shape (impressions↔conversions).  BOTH sides are
+    live streams with watermarks; the engine buffers each side in state and
+    the interval bound + watermark define exactly when a buffered row can
+    be dropped — without the time bound, two-stream state would grow
+    forever.  At 100 TB-scale ingest, state is partitioned by the join key
+    (user_id) across executors and RocksDB-backed.
+
+    The oracle is the identical join as plain batch SQL — batch/stream
+    equivalence for the two-stream stateful operator."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 day")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+    )
+    out = _run_to_table(joined, "append")
+    return out.select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
+    )
