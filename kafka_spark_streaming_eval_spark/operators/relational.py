@@ -976,3 +976,137 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_salted_skew",
+    "relational",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM {_EV} e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN — the manual remedy when one join key dominates the fact
+    side (a celebrity user, a null-ish default key).  The fact side gets a
+    random-but-deterministic salt in [0,16); the dimension side replicates
+    each row 16× (one per salt) so every (key, salt) pair still matches.
+    The shuffle then spreads a hot key over 16 reducers instead of one.
+    Replication cost is bounded: 16× the DIMENSION (small), never the fact.
+    AQE's skewedJoin splitting does this automatically for sort-merge
+    plans; explicit salting remains the portable fallback and also works
+    for aggregations.  Result is oracle-identical to the unsalted join."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salts = spark.range(16).select(F.col("id").cast("int").alias("_salt"))
+    dim_rep = c.crossJoin(F.broadcast(salts))
+    fact = ev.withColumn("_fsalt", F.pmod(F.hash("event_id"), F.lit(16)))
+    return (
+        fact.join(
+            dim_rep,
+            (fact.user_id == dim_rep.c_custkey) & (fact._fsalt == dim_rep._salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+    )
+
+
+@register(
+    "sessionize_events_batch",
+    "relational",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM {_EV}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM x
+    ),
+    s AS (
+      SELECT user_id, sess, count(*) AS n,
+             epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur
+      FROM y GROUP BY user_id, sess
+    )
+    SELECT user_id, count(*) AS n_sessions, sum(n) AS total_events,
+           max(n) AS max_session_events, sum(dur) AS total_session_ms
+    FROM s GROUP BY user_id
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands pattern: a session breaks
+    after >1 hour of user inactivity.  lag() flags session starts, a
+    running sum numbers them, then two aggregations summarize per session
+    and per user.  ONE shuffle on user_id serves the lag window, the
+    running-sum window, and both groupBys (all partition by user_id —
+    Catalyst reuses the partitioning).  This is the batch twin of
+    `stream_session_windows` (session_window() in streaming); at 100 TB
+    the per-user ordering cost is bounded by each user's own history, not
+    the table.  (ts, event_id) ordering is total: event_id is unique."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 3600),
+        1,
+    ).otherwise(0)
+    numbered = ev.select("user_id", "ts", "event_id").withColumn(
+        "sess", F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    per_sess = numbered.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("dur"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("total_events"),
+        F.max("n").alias("max_session_events"),
+        F.sum("dur").alias("total_session_ms"),
+    )
+
+
+@register(
+    "sample_stratified_per_class",
+    "relational",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE strpos('0123456789abcdef',
+                 substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1
+          < CASE event_type
+              WHEN 'click' THEN 8 WHEN 'view' THEN 4 WHEN 'purchase' THEN 16
+              WHEN 'error' THEN 2 ELSE 1 END
+    """,
+)
+def sample_stratified_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-class rates (purchase 100%,
+    click 50%, view 25%, error 12.5%, signup 6.25%) via the same
+    hash-bucket trick as `sample_deterministic_hash`: a row is kept iff its
+    md5 bucket falls under its class's quota, so the sample is stable
+    across engines, runs, and partitionings — and upsampling a rare class
+    later only ADDS rows (bucket sets are nested).  This is how a training
+    pipeline rebalances classes reproducibly at 100 TB: map-only, no
+    shuffle, no RNG state."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    quota = (
+        F.when(F.col("event_type") == "click", 8)
+        .when(F.col("event_type") == "view", 4)
+        .when(F.col("event_type") == "purchase", 16)
+        .when(F.col("event_type") == "error", 2)
+        .otherwise(1)
+    )
+    return ev.where(bucket < quota).select("event_id", "user_id", "event_type")

@@ -382,3 +382,100 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "sim_int8_quantized_topk",
+    "similarity",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * (127.0 /
+                      list_max(list_transform(embedding,
+                                y -> abs(CAST(y AS DOUBLE)))))) AS BIGINT)
+             ) AS q
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_reduce(list_transform(q, x -> x * x),
+                                   (a, b) -> a + b) AS DOUBLE)) AS qn
+      FROM q8
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(CAST(list_reduce(list_transform(generate_series(1, len(a.q)),
+                          i -> a.q[i] * b.q[i]), (x, y) -> x + y) AS DOUBLE)
+                   / (a.qn * b.qn), 6) AS q_cosine
+      FROM n a JOIN n b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, q_cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY q_cosine DESC, neighbor_id) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def sim_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization for similarity search: each vector is
+    rescaled to max|x| -> 127 and rounded to integers, then cosine runs on
+    the int8 codes.  At 100 TB of float32 embeddings this is the standard
+    4x storage/bandwidth cut (and SIMD int8 dot products on scan); recall
+    loss is tiny because cosine only needs relative direction.
+
+    Determinism is BETTER than the float path: the quantized dot product
+    and squared norms are exact integer arithmetic (associative — immune
+    to Spark/DuckDB summation-order differences); only the final division
+    touches floats, on identical operands.  All registry invariants hold:
+    6-dp rounding before ranking, neighbor_id tie-break."""
+    e = _emb(spark, sf_dir)
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    # build _ma first, then quantize against it
+    q8 = (
+        e.withColumn("_ma", maxabs)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    x.cast("double") * (F.lit(127.0) / F.col("_ma"))
+                ).cast("long"),
+            ).alias("q"),
+        )
+    )
+    n = q8.select(
+        "vec_id",
+        "q",
+        F.sqrt(
+            F.aggregate(
+                F.transform("q", lambda x: x * x), F.lit(0).cast("long"), lambda a, b: a + b
+            ).cast("double")
+        ).alias("qn"),
+    )
+    qs = n.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("qn").alias("qna"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "q", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        n.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(qdot.cast("double") / (F.col("qna") * F.col("qn")), 6).alias(
+                "q_cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("q_cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
