@@ -38,6 +38,10 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customer",
+    "src_bucketed_colocated_join",
+    "sessionize_events_batch",
     "join_star_revenue",
     "join_range_ship_window",
     "join_left_order_counts",
