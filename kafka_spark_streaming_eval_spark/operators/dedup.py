@@ -484,3 +484,49 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dot / (F.col("a.nrm") * F.col("b.nrm")) > 0.99)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
+
+
+@register(
+    "dedup_incremental_against_corpus",
+    "dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ),
+    new_docs AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT n.doc_id, n.h AS content_hash
+    FROM new_docs n
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = n.h)
+      AND NOT EXISTS (
+        SELECT 1 FROM new_docs m WHERE m.h = n.h AND m.doc_id < n.doc_id
+      )
+    """,
+)
+def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch of documents
+    dedups (a) against the already-ingested corpus and (b) within itself,
+    without ever rescanning corpus text.  Here the corpus is the even
+    doc_ids and the batch the odd ones (a deterministic stand-in for the
+    snapshot boundary).  (a) is a LEFT ANTI join against the corpus's
+    content-hash index — at 100 TB you store exactly this hash column as
+    its own compact table, so daily ingest touches gigabytes, not the
+    corpus; (b) is a min-doc_id-wins window inside the batch.  Output =
+    the documents that actually enter the corpus."""
+    docs = _docs(spark, sf_dir)
+    corpus_hashes = (
+        docs.where(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct()
+    )
+    new_docs = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        new_docs.join(
+            corpus_hashes, new_docs.content_hash == corpus_hashes.h, "left_anti"
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "content_hash")
+    )

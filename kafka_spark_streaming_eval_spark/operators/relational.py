@@ -1110,3 +1110,101 @@ def sample_stratified_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
     )
     return ev.where(bucket < quota).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "agg_time_rollup_hierarchy",
+    "relational",
+    oracle=f"""
+    SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+           count(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM {_EV}
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    """,
+)
+def agg_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: day -> month -> year -> grand
+    total in ONE pass (4 grouping sets share the scan and the partial
+    aggregation).  This is the batch form of a continuous aggregate: at
+    100 TB with time-partitioned storage each day's partial is computed
+    from its own partition and the coarser levels merge partials — the
+    incremental-refresh pattern, no full rescan per level."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup(
+        F.year("ts").alias("y"), F.month("ts").alias("m"), F.dayofmonth("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+
+
+@register(
+    "profile_table_stats",
+    "relational",
+    oracle="""
+    SELECT 'o_totalprice' AS col, count(*) AS n_rows,
+           count(o_totalprice) AS n_nonnull,
+           count(DISTINCT o_totalprice) AS n_distinct,
+           round(min(o_totalprice), 6) AS min_val,
+           round(max(o_totalprice), 6) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey),
+           count(DISTINCT o_custkey),
+           round(min(o_custkey), 6), round(max(o_custkey), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling — the first step of any training-data pipeline: per-
+    column row/non-null/distinct counts and numeric ranges.  All columns
+    profile in ONE scan (a single multi-aggregate pass, unpivoted to rows
+    afterwards); the oracle's UNION ALL form would scan once per column —
+    at 100 TB the single-scan shape is the difference between one pass and
+    k passes over the table.  Exact distinct counts here; the
+    `agg_approx_distinct` sketch path is the sub-1%-error alternative when
+    k columns x billions of rows make exact infeasible."""
+    o = _t(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("tp_nonnull"),
+        F.count_distinct("o_totalprice").alias("tp_distinct"),
+        F.round(F.min("o_totalprice"), 6).alias("tp_min"),
+        F.round(F.max("o_totalprice"), 6).alias("tp_max"),
+        F.count("o_custkey").alias("ck_nonnull"),
+        F.count_distinct("o_custkey").alias("ck_distinct"),
+        F.round(F.min("o_custkey").cast("double"), 6).alias("ck_min"),
+        F.round(F.max("o_custkey").cast("double"), 6).alias("ck_max"),
+        F.count("o_orderstatus").alias("st_nonnull"),
+        F.count_distinct("o_orderstatus").alias("st_distinct"),
+    )
+    row = F.explode(
+        F.array(
+            F.struct(
+                F.lit("o_totalprice").alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col("tp_nonnull").alias("n_nonnull"),
+                F.col("tp_distinct").alias("n_distinct"),
+                F.col("tp_min").alias("min_val"),
+                F.col("tp_max").alias("max_val"),
+            ),
+            F.struct(
+                F.lit("o_custkey").alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col("ck_nonnull").alias("n_nonnull"),
+                F.col("ck_distinct").alias("n_distinct"),
+                F.col("ck_min").alias("min_val"),
+                F.col("ck_max").alias("max_val"),
+            ),
+            F.struct(
+                F.lit("o_orderstatus").alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col("st_nonnull").alias("n_nonnull"),
+                F.col("st_distinct").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_val"),
+                F.lit(None).cast("double").alias("max_val"),
+            ),
+        )
+    )
+    return prof.select(row.alias("r")).select("r.*")
