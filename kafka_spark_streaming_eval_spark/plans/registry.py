@@ -71,6 +71,7 @@ def _load_all() -> None:
         dedup,
         metrics,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
