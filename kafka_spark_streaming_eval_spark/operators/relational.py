@@ -1208,3 +1208,92 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return prof.select(row.alias("r")).select("r.*")
+
+
+@register(
+    "unpivot_daily_metrics",
+    "relational",
+    oracle=f"""
+    WITH wide AS (
+      SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             {dsum_sql('value')} AS total_value,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM {_EV} GROUP BY 1
+    )
+    SELECT day_ms, metric, round(val, 6) AS val
+    FROM wide
+    UNPIVOT (val FOR metric IN (n_events, total_value, n_users))
+    """,
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-day metrics -> long (day, metric, value)
+    rows, the inverse of `pivot_status_by_year`.  The melt itself is a
+    zero-shuffle Expand node — rows multiply by the metric count without
+    any exchange, so at 100 TB the cost is the one groupBy producing the
+    wide table; long-form output then feeds metric stores that want
+    (series, ts, value) rows."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy(
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.unpivot(
+        "day_ms", ["n_events", "total_value", "n_users"], "metric", "_v"
+    ).select("day_ms", "metric", F.round("_v", 6).alias("val"))
+
+
+@register(
+    "scalar_array_battery",
+    "relational",
+    oracle="""
+    WITH arrs AS (
+      SELECT l_orderkey,
+             list_sort(list(l_quantity ORDER BY l_linenumber, l_quantity)) AS q
+      FROM lineitem
+      WHERE l_orderkey < 200
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(q) AS n,
+           q[1] AS q_min,
+           q[-1] AS q_max,
+           len(list_distinct(q)) AS n_distinct,
+           list_contains(q, 1.0) AS has_one,
+           list_sort(list_filter(q, x -> x >= 25)) AS big_quantities,
+           round(list_reduce(list_transform(q, x -> CAST(x AS DECIMAL(38,6))),
+                             (a, b) -> a + b), 6) AS q_sum,
+           list_sort(list_transform(q, x -> x * 2)) AS doubled
+    FROM arrs
+    """,
+)
+def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over per-order quantity vectors: size, index
+    access, distinct, membership, filter, fold (exact decimal sum), and
+    element-wise transform — the higher-order-function surface that keeps
+    list manipulation JVM-side (whole-stage codegen) instead of in Python
+    UDFs.  Arrays are built with sort_array(collect_list) so contents are
+    deterministic under any shuffle order."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    arrs = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("q")
+    )
+    dec_sum = F.aggregate(
+        F.transform("q", lambda x: x.cast("decimal(38,6)")),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda a, b: a + b,
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("q").alias("n"),
+        F.element_at("q", 1).alias("q_min"),
+        F.element_at("q", -1).alias("q_max"),
+        F.size(F.array_distinct("q")).alias("n_distinct"),
+        F.array_contains("q", 1.0).alias("has_one"),
+        F.array_sort(F.filter("q", lambda x: x >= 25)).alias("big_quantities"),
+        F.round(dec_sum, 6).alias("q_sum"),
+        F.array_sort(F.transform("q", lambda x: x * 2)).alias("doubled"),
+    )

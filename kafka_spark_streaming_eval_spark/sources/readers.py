@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
-from kafka_spark_streaming_eval_spark.functions.numeric import dsum_sql
+from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 
 _DSUM_REV = dsum_sql("l_extendedprice * (1 - l_discount)")
@@ -183,4 +183,52 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_r").cast("double").alias("revenue"),
             "n_lines",
         )
+    )
+
+
+@register(
+    "src_schema_evolution_scan",
+    "sources",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT event_id, user_id, event_type, NULL::DOUBLE AS value
+      FROM {_EV} WHERE event_id % 2 = 0
+    ),
+    v2 AS (
+      SELECT event_id, user_id, event_type, value
+      FROM {_EV} WHERE event_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(value) AS n_with_value,
+           {dsum_sql('value')} AS total_value
+    FROM unioned
+    GROUP BY event_type
+    """,
+)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution — the unavoidable reality of a years-long 100 TB
+    dataset: old files lack columns added later.  Writes the same events
+    split as two parquet generations (v1 without `value`, v2 with it),
+    reads the directory back with ``mergeSchema``, and aggregates with
+    null-aware counts.  The missing column surfaces as NULL for v1 rows —
+    no rewrite of old data, no reader branching: one scan, one schema.
+    (Per-file footer merging is driver-side cost at listing time; at scale
+    you pin the merged schema explicitly instead of inferring per query —
+    here mergeSchema demonstrates the inference path.)"""
+    base = "/tmp/events_schema_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ev = table(prep(spark), sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    v1 = ev.where(F.col("event_id") % 2 == 0).drop("value")
+    v2 = ev.where(F.col("event_id") % 2 == 1)
+    shutil.rmtree(base, ignore_errors=True)
+    v1.write.mode("overwrite").parquet(f"{base}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{base}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        dsum("value").alias("total_value"),
     )
