@@ -1,11 +1,13 @@
 """TPC-H-style decision-support queries beyond Q1/Q3/Q5/Q10 (relational.py).
 
 The reference engine (SURVEY.md §2.a) has no joins at all; this module
-widens the relational surface with the classic TPC-H shapes that the
-testdata schema can express (no partsupp / l_commitdate / l_shipmode /
-c_phone columns exist, so Q2/Q9/Q11/Q20/Q21 are out of scope and Q4/Q7/
-Q12/Q16/Q19/Q22 are adapted to the columns that do exist — each docstring
-states the adaptation).
+widens the relational surface with all 22 classic TPC-H shapes.  The
+testdata schema has no partsupp table and no l_commitdate / l_receiptdate /
+l_shipmode / c_phone / p_container / o_comment columns, so queries that
+need them are adapted to the columns that do exist — each docstring states
+the adaptation (the supplier↔part relation comes from lineitem, lateness
+is measured against o_orderdate, and Q9's supply cost is a retail-price
+proxy).  The planner shape each query exists to exercise is preserved.
 
 Scale notes (100 TB):
 - Every query keeps selective predicates on the scan side so they push into
@@ -519,4 +521,362 @@ def q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    "relational",
+    oracle="""
+    WITH costs AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+             min(l.l_extendedprice / l.l_quantity) AS c
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size < 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      GROUP BY ALL
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, round(c, 6) AS supp_cost
+    FROM costs
+    QUALIFY c = min(c) OVER (PARTITION BY p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): no partsupp table, so the part↔supplier relation
+    and the "supply cost" come from lineitem — cost of a (part, supplier)
+    pair = the minimum observed unit price (l_extendedprice / l_quantity)
+    among that supplier's shipments of the part.  Preserves Q2's planner
+    shape: a correlated min subquery per part, decorrelated here as a
+    window min over a per-(part, supplier) aggregate — the fact table is
+    scanned ONCE, vs twice in the naive correlated form.  Part and the
+    supplier→nation→region chain are dimension-filtered before the join and
+    broadcast; the only shuffle is the groupBy on (part, supplier).  Unit
+    price is a double division — identical IEEE operands on both engines,
+    so the min-equality compare is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") < 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("c"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        costs.withColumn("_mn", F.min("c").over(w))
+        .where(F.col("c") == F.col("_mn"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("c", 6).alias("supp_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    "relational",
+    oracle=f"""
+    SELECT o_year,
+           round({dsum_sql("CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END")}
+                 / {dsum_sql('volume')}, 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_1's share of the ASIA market for ECONOMY parts by
+    order year.  Eight-table join where every dimension chain (part slice,
+    customer→nation→region, supplier→nation) broadcasts, so the only
+    shuffle is lineitem↔orders on orderkey; the conditional-sum ratio
+    computes both numerator and denominator in ONE aggregation pass instead
+    of two branches.  Both sums are decimal-exact, making the final double
+    division bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(dsum(nation_vol) / dsum("volume"), 6).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    "relational",
+    oracle=f"""
+    SELECT nation, o_year,
+           round({dsum_sql('volume')} - {dsum_sql('cost')}, 6) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             0.25 * p.p_retailprice * l.l_quantity AS cost
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): profit on "gear" product lines by supplier nation
+    and year.  No partsupp.ps_supplycost exists, so cost is proxied as
+    0.25 x p_retailprice x l_quantity (0.25 is binary-exact, keeping every
+    cost value within 6 decimal digits — the determinism contract).  The
+    name-LIKE filter cannot push below the part scan as a range, but it
+    prunes the broadcast build side before the join; profit aggregates as
+    two decimal-exact sums (revenue, cost) subtracted once at the end —
+    not per-row — so one aggregation pass suffices."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            (F.lit(0.25) * F.col("p_retailprice") * F.col("l_quantity")).alias("cost"),
+        )
+    )
+    return joined.groupBy("nation", "o_year").agg(
+        F.round(dsum("volume") - dsum("cost"), 6).alias("sum_profit")
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    "relational",
+    oracle=f"""
+    WITH f AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    t AS (SELECT {dsum_sql('l_extendedprice')} AS _t FROM f)
+    SELECT l_partkey AS p_partkey, {dsum_sql('l_extendedprice')} AS part_value
+    FROM f CROSS JOIN t
+    GROUP BY l_partkey, _t
+    HAVING {dsum_sql('l_extendedprice')} > 0.001 * _t
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts representing a significant share of
+    NATION_7's shipped value.  partsupp.ps_supplycost*ps_availqty becomes
+    sum(l_extendedprice) over the nation's lineitems.  Q11's signature
+    shape survives: the SAME filtered input feeds both a per-part aggregate
+    and a global scalar total, and the scalar broadcasts back as a
+    crossJoin for the HAVING fraction — Catalyst reuses the exchange for
+    the double-aggregation, and no driver round-trip materializes the
+    scalar.  The 0.001 fraction is scale-free: the query returns the same
+    relative slice at any SF."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    f = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", "l_extendedprice")
+    )
+    tot = f.agg(dsum("l_extendedprice").alias("_t"))
+    per_part = f.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        dsum("l_extendedprice").alias("part_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("part_value") > 0.001 * F.col("_t"))
+        .select("p_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q20_top_shippers",
+    "relational",
+    oracle=f"""
+    WITH sp AS (SELECT p_partkey FROM part WHERE p_type = 'SMALL'),
+    per_supp AS (
+      SELECT l_suppkey, {dsum_sql('l_quantity')} AS shipped_qty
+      FROM lineitem JOIN sp ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    ),
+    a AS (SELECT {davg_sql('shipped_qty')} AS _avg FROM per_supp)
+    SELECT s_name, s_acctbal, n_name, shipped_qty
+    FROM per_supp CROSS JOIN a
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA' AND shipped_qty > 1.25 * _avg
+    """,
+)
+def q20_top_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): AFRICA suppliers who shipped disproportionate
+    volume of SMALL-type parts in 1997.  partsupp.ps_availqty's correlated
+    threshold becomes "shipped quantity > 1.25x the per-supplier average" —
+    a scale-free threshold preserving Q20's nested structure: part slice →
+    per-supplier aggregate over the slice → scalar threshold → supplier
+    semi-filter → nation/region dimension filter.  The part slice and the
+    one-row average broadcast; the per-supplier aggregate is tiny (one row
+    per supplier) so every join after the first groupBy is broadcast-side.
+    The 1.25 multiplier is binary-exact and shipped_qty is a decimal-exact
+    sum, so the threshold compare is deterministic."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sp = _t(spark, sf_dir, "part").where(F.col("p_type") == "SMALL").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    per_supp = (
+        li.join(F.broadcast(sp), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("shipped_qty"))
+    )
+    avg_q = per_supp.agg(
+        (
+            F.sum(F.col("shipped_qty").cast("decimal(38,6)")).cast("double")
+            / F.count("shipped_qty")
+        ).alias("_avg")
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(avg_q))
+        .where(F.col("shipped_qty") > 1.25 * F.col("_avg"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal", "n_name", "shipped_qty")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    "relational",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                 THEN l_suppkey END) AS n_late,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per_order
+    JOIN supplier ON late_supp = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE n_late = 1 AND n_supp >= 2 AND r_name = 'EUROPE'
+    GROUP BY s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): EUROPE suppliers who were the SOLE late shipper
+    on a finished multi-supplier order ("late" = shipped >90 days after the
+    order date; no l_commitdate/l_receiptdate exist).  The classic form is
+    lineitem EXISTS-joined and NOT-EXISTS-joined against itself — two extra
+    shuffles of the biggest table.  Here both quantifiers decorrelate into
+    ONE per-order aggregate: distinct-supplier count (the EXISTS), distinct
+    late-supplier count (=1 encodes the NOT EXISTS), and max-of-late-supp
+    (well-defined because n_late = 1 pins it) — a single orderkey shuffle
+    that would survive a 100x scale-up, with the supplier/nation/region
+    filter applied to the tiny post-aggregate side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+    )
+    return (
+        per_order.where((F.col("n_late") == 1) & (F.col("n_supp") >= 2))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
