@@ -39,7 +39,9 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
     "tpch_q18_large_volume_customer",
+    "tpch_q21_suppliers_kept_waiting",
     "src_bucketed_colocated_join",
     "sessionize_events_batch",
     "join_star_revenue",

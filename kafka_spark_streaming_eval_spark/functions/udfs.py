@@ -26,11 +26,13 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf, udtf
 
 from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
 from kafka_spark_streaming_eval_spark.session import prep
 
@@ -177,4 +179,91 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.sentence, s.sentence_idx
         FROM udtf_docs d, LATERAL split_sentences(d.text) s
         """
+    )
+
+
+@register(
+    "udf_cogroup_merge_asof",
+    "udf",
+    oracle=f"""
+    WITH ev AS (SELECT * FROM {_EV} t),
+    clicks AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms, max(value) AS value
+      FROM ev WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purch AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_ms AS purchase_ms,
+           c.ts_ms AS last_click_ms, c.value AS last_click_value
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_ms >= c.ts_ms
+    """,
+)
+def udf_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: two tables grouped on the same key are
+    cogrouped per key and handed to a pandas kernel — here pd.merge_asof
+    attaching each purchase to the user's most recent preceding (or
+    simultaneous) click.  This is the two-table as-of join the pure-window
+    form (join_asof_prev_error) can't express, and the cogroup API's
+    canonical use.  Both sides hash-shuffle once on user_id; each kernel
+    call sees one user's Arrow batches.  Clicks are pre-deduplicated per
+    (user, ts) so the as-of pick is well-defined under timestamp ties;
+    timestamps cross the Python boundary as int64 ms (no tz ambiguity)."""
+    ev = table(prep(spark), sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("value").alias("value"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ms"
+    )
+
+    def merge_asof_kernel(purchases: pd.DataFrame, clicks_pdf: pd.DataFrame):
+        # Column-pruning tolerance: when no output column is needed (e.g.
+        # a bare count()), Catalyst prunes the cogroup inputs down to the
+        # grouping key — the kernel then only has to preserve row counts.
+        # Inputs are only ever pruned when the dependent outputs are too.
+        cols = ["event_id", "user_id", "purchase_ms", "last_click_ms", "last_click_value"]
+        full_inputs = "ts_ms" in purchases.columns and {"ts_ms", "value"} <= set(
+            clicks_pdf.columns
+        )
+        if full_inputs:
+            p = purchases.sort_values("ts_ms")
+            if clicks_pdf.empty:
+                out = p.assign(last_click_ms=pd.NA, last_click_value=pd.NA)
+            else:
+                c = (
+                    clicks_pdf[["ts_ms", "value"]]
+                    .sort_values("ts_ms")
+                    .rename(
+                        columns={"ts_ms": "last_click_ms", "value": "last_click_value"}
+                    )
+                )
+                out = pd.merge_asof(
+                    p, c, left_on="ts_ms", right_on="last_click_ms",
+                    direction="backward",
+                )
+            out = out.rename(columns={"ts_ms": "purchase_ms"})
+        else:
+            out = purchases.copy()
+        for col in cols:
+            if col not in out.columns:
+                out[col] = pd.NA
+        return out[cols]
+
+    return (
+        purch.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda left, right: merge_asof_kernel(
+                left, right.drop(columns=["user_id"], errors="ignore")
+            ),
+            "event_id long, user_id long, purchase_ms long, "
+            "last_click_ms long, last_click_value double",
+        )
     )

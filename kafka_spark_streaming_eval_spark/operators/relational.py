@@ -1297,3 +1297,232 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec_sum, 6).alias("q_sum"),
         F.array_sort(F.transform("q", lambda x: x * 2)).alias("doubled"),
     )
+
+
+@register(
+    "window_ntile_battery",
+    "relational",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ntile(4) OVER w AS quartile,
+           first_value(bal_pos IGNORE NULLS) OVER w AS first_pos,
+           last_value(bal_pos IGNORE NULLS) OVER wf AS last_pos,
+           nth_value(bal_pos, 3 IGNORE NULLS) OVER wf AS third_pos
+    FROM (
+      SELECT *, CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal_pos
+      FROM customer
+    )
+    WINDOW
+      w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+      wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window battery: ntile bucketing plus the value-positional
+    functions (first/last/nth) with IGNORE NULLS semantics — negative
+    balances are nulled so the null-skipping path actually skips.  The
+    ordering key includes the unique c_custkey tie-breaker: ntile assigns
+    by row position, so a non-total order would be nondeterministic across
+    engines (and across Spark runs).  One shuffle on the partition key;
+    both frames reuse the same sort."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_pos", F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("bal_pos", ignorenulls=True).over(w).alias("first_pos"),
+        F.last("bal_pos", ignorenulls=True).over(wf).alias("last_pos"),
+        F.nth_value("bal_pos", 3, ignoreNulls=True).over(wf).alias("third_pos"),
+    )
+
+
+@register(
+    "scalar_map_battery",
+    "relational",
+    oracle="""
+    WITH cnts AS (
+      SELECT user_id % 100 AS bucket, event_type, count(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT bucket,
+           count(*) AS n_types,
+           coalesce(max(CASE WHEN event_type = 'click' THEN cnt END), 0) AS clicks,
+           list_sort(list(event_type)) AS types,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           coalesce(list_sort(list(event_type) FILTER (WHERE cnt >= 10)), []) AS big_types,
+           2 * max(CASE WHEN event_type = 'click' THEN cnt END) AS clicks_doubled
+    FROM cnts
+    GROUP BY bucket
+    """,
+)
+def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: per-user-bucket event-type histograms held as a
+    map<string,long> column, then interrogated with the built-in map
+    functions — size, element_at lookup, map_keys, a fold over map_values,
+    map_filter, and transform_values.  Everything stays JVM-side (no UDF);
+    map entries are built from a sort_array'd collect_list so key order is
+    deterministic.  The oracle computes identical answers relationally —
+    maps are an engine-side representation, not a semantic extension."""
+    ev = _t(spark, sf_dir, "events")
+    cnts = ev.groupBy(
+        (F.col("user_id") % 100).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    maps = cnts.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return maps.select(
+        "bucket",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("clicks"),
+        F.map_keys("m").alias("types"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("total"),
+        F.map_keys(F.map_filter("m", lambda k, v: v >= 10)).alias("big_types"),
+        F.element_at(
+            F.transform_values("m", lambda k, v: v * 2), F.lit("click")
+        ).alias("clicks_doubled"),
+    )
+
+
+@register("agg_hll_partitioned_merge", "relational", oracle=None)
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — THE pattern for 100 TB distinct
+    counts: each shard builds a fixed-size HLL sketch (here: 32 shards of
+    the events table), sketches merge associatively into one, and the
+    estimate reads off the merged sketch.  No shuffle of raw values ever
+    happens — only kilobyte sketches move, and the same sketches could be
+    stored per-partition and re-merged incrementally as data arrives.
+    Rows-only check (the DataSketches HLL estimate is implementation-
+    specific); `tests/test_properties.py` asserts the estimate lands within
+    5% of the exact count, and exact_users in the output lets any run
+    audit the error."""
+    ev = _t(spark, sf_dir, "events")
+    sketches = ev.groupBy(F.pmod(F.col("user_id"), F.lit(32)).alias("shard")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return merged.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "timeseries_gapfill_daily",
+    "relational",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             count(*) AS n,
+             {dsum_sql('value')} AS tv
+      FROM {_EV} GROUP BY 1
+    ),
+    days AS (
+      SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+      FROM daily
+    )
+    SELECT epoch_ms(d.day) AS day_ms,
+           coalesce(n, 0) AS n_events,
+           coalesce(tv, CAST(0.0 AS DOUBLE)) AS total_value,
+           last_value(round(tv / n, 6) IGNORE NULLS)
+             OVER (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS locf_avg_value
+    FROM days d LEFT JOIN daily USING (day)
+    """,
+)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the calendar spine is generated with
+    ``sequence()`` + ``explode`` between the observed min/max day, left-
+    joined against the daily aggregate; absent days fill with zero counts
+    and the daily average carries forward (LOCF) via a last-value IGNORE
+    NULLS window.  The spine is bounded by the calendar, not the data —
+    at 100 TB of events the fact side still reduces to one row per day
+    BEFORE the join, and the single-partition window runs over ~10^3 rows
+    regardless of SF.  Training pipelines use this exact shape to densify
+    feature time-series before windowed models."""
+    ev = table(prep(spark), sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("tv")
+    )
+    spine = daily.agg(
+        F.explode(
+            F.sequence(F.min("day"), F.max("day"), F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.unix_millis("day").alias("day_ms"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+            F.last(F.round(F.col("tv") / F.col("n"), 6), ignorenulls=True)
+            .over(w)
+            .alias("locf_avg_value"),
+        )
+    )
+
+
+@register(
+    "agg_corr_deterministic",
+    "relational",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             {dsum_sql('l_quantity')} AS sx,
+             {dsum_sql('l_extendedprice')} AS sy,
+             {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+             {dsum_sql('l_quantity * l_quantity')} AS sxx,
+             {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qty_price,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp_qty_price,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_price_per_qty
+    FROM s
+    """,
+)
+def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson correlation, sample covariance,
+    regression slope) computed from decimal-exact moment sums instead of
+    the built-in `corr`/`covar_samp`/`regr_slope` — the builtins use
+    streaming merge formulas whose float error depends on partition order,
+    so they can't hash-match across engines.  Moments are one aggregation
+    pass (products of two 2dp columns are <=4dp: the DECIMAL(38,6) cast is
+    exact); the closed-form combination is identical double arithmetic on
+    both engines.  Same single-shuffle cost as the builtin at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(p).alias("sy"),
+        dsum(q * p).alias("sxy"),
+        dsum(q * q).alias("sxx"),
+        dsum(p * p).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "slope_price_per_qty"
+        ),
+    )

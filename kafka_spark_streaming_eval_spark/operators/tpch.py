@@ -539,7 +539,7 @@ def q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p.p_size < 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
       GROUP BY ALL
     )
-    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, round(c, 6) AS supp_cost
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, c AS supp_cost
     FROM costs
     QUALIFY c = min(c) OVER (PARTITION BY p_partkey)
     """,
@@ -555,7 +555,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier→nation→region chain are dimension-filtered before the join and
     broadcast; the only shuffle is the groupBy on (part, supplier).  Unit
     price is a double division — identical IEEE operands on both engines,
-    so the min-equality compare is exact."""
+    so the min-equality compare is exact (and supp_cost stays unrounded:
+    a half-tie at 6 dp would round HALF_UP in Spark vs half-even in DuckDB)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_size") < 15) & (F.col("p_type") == "STANDARD")
@@ -584,7 +585,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "s_acctbal",
-            F.round("c", 6).alias("supp_cost"),
+            F.col("c").alias("supp_cost"),
         )
     )
 

@@ -232,3 +232,190 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_with_value"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "src_python_datasource_events",
+    "sources",
+    oracle=f"""
+    WITH src AS (
+      SELECT i % 10000 AS user_id,
+             ['click', 'view', 'purchase', 'login'][(i % 4) + 1] AS event_type,
+             CAST(i % 1000 AS DOUBLE) / 10.0 AS value
+      FROM generate_series(0, 99999) t(i)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {dsum_sql('value')} AS total_value
+    FROM src
+    GROUP BY event_type
+    """,
+)
+def python_datasource_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API: a custom ``synthevents`` source that
+    deterministically regenerates the reference producer's event stream
+    (user_id = i %% 10000, event_type cycling 4 values, value =
+    (i %% 1000)/10 — producer.py:38-45) WITHOUT Kafka.  The reader splits
+    the sequence into contiguous index ranges (one InputPartition each, so
+    generation parallelizes across executors) and yields Arrow
+    RecordBatches, not Python tuples — the vectorized boundary.  This is
+    the engine's template for wrapping any external system (REST cursors,
+    proprietary stores) as a first-class parallel scan.  Classes are
+    defined nested so cloudpickle ships them by value to executors."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class RangePart(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.total = int(options.get("total", "100000"))
+            self.nparts = int(options.get("numpartitions", "8"))
+
+        def partitions(self):
+            step = (self.total + self.nparts - 1) // self.nparts
+            return [
+                RangePart(i, min(i + step, self.total))
+                for i in range(0, self.total, step)
+            ]
+
+        def read(self, part):
+            import numpy as np
+            import pyarrow as pa
+
+            types = np.array(["click", "view", "purchase", "login"])
+            for lo in range(part.start, part.end, 16384):
+                hi = min(lo + 16384, part.end)
+                i = np.arange(lo, hi, dtype=np.int64)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(i % 10000, type=pa.int64()),
+                        pa.array(types[i % 4]),
+                        pa.array((i % 1000) / 10.0, type=pa.float64()),
+                    ],
+                    names=["user_id", "event_type", "value"],
+                )
+
+    class SynthEvents(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthevents"
+
+        def schema(self):
+            return "user_id long, event_type string, value double"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark = prep(spark)
+    spark.dataSource.register(SynthEvents)
+    df = (
+        spark.read.format("synthevents")
+        .option("total", "100000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "src_range_sorted_scan",
+    "sources",
+    oracle=f"""
+    SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM {_EV}
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+    GROUP BY 1
+    """,
+)
+def range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered storage layout: events rewritten with
+    ``repartitionByRange(ts)`` + ``sortWithinPartitions(ts)`` so each output
+    file covers a disjoint time slice and each parquet row-group a narrow
+    sub-slice.  A time-range query then (a) pushes the ts predicates to the
+    reader (PushedFilters) and (b) skips whole files/row-groups via their
+    min/max footer stats — at 100 TB this is the difference between
+    scanning ~3/30 days and scanning everything, WITHOUT Hive partition
+    directories (range files compose with any partition scheme and avoid
+    the small-files explosion of fine-grained partitioning)."""
+    base = "/tmp/events_range_sorted_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ev = table(prep(spark), sf_dir, "events")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base).where(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-13")
+    )
+    return back.groupBy(
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "src_zorder_clustered_scan",
+    "sources",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM {_EV}
+    WHERE user_id BETWEEN 100 AND 131
+      AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-16'
+    GROUP BY user_id
+    """,
+)
+def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering for multi-dimensional data
+    skipping: the write path interleaves the bits of two filter dimensions
+    (user bucket, day-of-month) into a z-value, range-partitions and sorts
+    by it, so files are locality-clustered in BOTH dimensions at once — a
+    query filtering user AND time skips most files from footer min/max
+    stats, where single-column sorting only helps one dimension.  The
+    interleave is pure JVM bit arithmetic (shiftleft/bitwise-or loop over
+    literal bit positions — no UDF); the same public technique as Delta
+    Lake's OPTIMIZE ZORDER BY.  The z-value is layout-only: it never
+    appears in query results, so the oracle is the plain two-predicate
+    aggregate."""
+    base = "/tmp/events_zorder_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ev = table(prep(spark), sf_dir, "events")
+    u = F.col("user_id") % 1024  # 10 bits
+    d = F.dayofmonth("ts").cast("long")  # 5 bits
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for bit in range(10):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(u, bit).bitwiseAND(one), 2 * bit))
+        if bit < 5:
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(d, bit).bitwiseAND(one), 2 * bit + 1)
+            )
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        ev.withColumn("_z", z)
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base).where(
+        F.col("user_id").between(100, 131)
+        & (F.col("ts") >= "2024-01-08")
+        & (F.col("ts") < "2024-01-16")
+    )
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

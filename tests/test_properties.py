@@ -100,3 +100,16 @@ def test_exact_duplicates_always_pair(spark):
     pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
     assert (1, 2) in pairs
     assert all(a < b for a, b in pairs)
+
+
+def test_hll_estimate_within_5pct(spark):
+    """The sharded-HLL merge must land near the exact distinct count —
+    the rows-only driver check can't see accuracy, so assert it here."""
+    from kafka_spark_streaming_eval_spark.operators.relational import (
+        agg_hll_partitioned_merge,
+    )
+    from tests.conftest import SF_DIR
+
+    row = agg_hll_partitioned_merge(spark, SF_DIR).collect()[0]
+    assert row.exact_users > 0
+    assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.05

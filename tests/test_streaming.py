@@ -158,3 +158,69 @@ def test_rate_source_generator(spark):
     types = {r.event_type for r in out.select("event_type").distinct().collect()}
     assert types <= {"click", "view", "purchase", "login"}
     assert out.where((F.col("value") < 0) | (F.col("value") > 99.9)).count() == 0
+
+
+def test_tws_running_stats(spark, tmp_path):
+    """transformWithStateInPandas end-to-end (Spark 4 StatefulProcessor):
+    multi-batch per-user running stats must equal the batch aggregate.
+    Skipped where google.protobuf (the TWS state-server protocol dep) is
+    absent — the container case; runs on any real Spark 4 deployment."""
+    import pytest
+
+    from kafka_spark_streaming_eval_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        running_stats_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed: transformWithState gated")
+
+    src = str(tmp_path / "tws_src")
+    df = spark.createDataFrame(
+        [(i % 7, float(i % 10)) for i in range(1000)], "user_id long, value double"
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        q = (
+            running_stats_stream(spark, src)
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        (r.user_id, r.n_events, r.total_cents)
+        for r in spark.table("tws_out")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+        )
+        .collect()
+    }
+    exp = {
+        (r.user_id, r.n, r.c)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == exp
