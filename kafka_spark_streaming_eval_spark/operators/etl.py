@@ -1,0 +1,168 @@
+"""ETL / warehouse-maintenance operators (north-star surface).
+
+The reference repo is an ingest-and-measure pipeline; a usable analytics
+engine also needs the table-maintenance shapes every warehouse runs daily:
+MERGE-style upsert of a changeset into a snapshot, and SCD Type-2 history
+construction.  Neither requires a lakehouse format — both are expressed as
+single-shuffle declarative plans over plain parquet, which is exactly what
+Delta/Iceberg MERGE compiles down to underneath (full-outer join on the
+merge key + per-row CASE).
+
+Scale notes (100 TB):
+- The upsert joins snapshot and changeset on the merge key: one hash
+  shuffle each side, no row explosion (changeset is pre-aggregated to one
+  row per key).  With bucketed snapshot storage the snapshot-side shuffle
+  disappears (see src_bucketed_colocated_join).
+- SCD2 is one window pass per user partition — state never leaves the
+  executor, and the partition key (user) is uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.operators.metrics import _EV
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, name)
+
+
+# Far above any snapshot key at any scale factor: synthetic insert keys.
+_INSERT_KEY_OFFSET = 10_000_000
+
+MAX_TS_MS = 9_223_372_036_854_775_807  # open-ended validity sentinel
+
+
+@register(
+    "etl_merge_upsert",
+    "etl",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_custkey AS k, {dsum_sql('o_totalprice')} AS spent, count(*) AS n
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+    ),
+    changeset AS (
+      SELECT k, CASE WHEN n >= 4 THEN 'D' ELSE 'U' END AS op, spent FROM chg
+      UNION ALL
+      SELECT k + {_INSERT_KEY_OFFSET}, 'I', spent FROM chg
+    )
+    SELECT coalesce(c.c_custkey, g.k) AS custkey,
+           CASE WHEN g.op = 'I' THEN 'NEW CUSTOMER' ELSE c.c_name END AS name,
+           CASE WHEN g.op = 'U' THEN c.c_acctbal + g.spent
+                WHEN g.op = 'I' THEN g.spent
+                ELSE c.c_acctbal END AS acctbal,
+           CASE WHEN g.op = 'U' THEN 'updated'
+                WHEN g.op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS status
+    FROM customer c FULL OUTER JOIN changeset g ON c.c_custkey = g.k
+    WHERE g.op IS NULL OR g.op <> 'D'
+    """,
+)
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a lakehouse: apply a mixed
+    update/delete/insert changeset to the customer snapshot in one
+    declarative plan — full-outer join on the merge key, then per-row CASE
+    (matched+U → update, matched+D → drop, unmatched change → insert,
+    untouched snapshot rows pass through).  The changeset is derived
+    deterministically from 1997 order activity; updates add exact-decimal
+    spend to the account balance (double + double of identical operands →
+    bit-equal cross-engine).  This is the plan Delta/Iceberg MERGE executes
+    underneath, so its scale behavior — one shuffle per side, no row
+    explosion — carries over verbatim."""
+    c = _t(spark, sf_dir, "customer")
+    chg = (
+        _t(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(dsum("o_totalprice").alias("spent"), F.count(F.lit(1)).alias("n"))
+    )
+    # One chg row fans out to its U/D row AND its synthetic insert row via
+    # explode — a UNION of two selects over chg would re-execute the orders
+    # aggregation (and re-scan orders) once per branch.
+    changeset = chg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("k"),
+                    F.when(F.col("n") >= 4, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+                    F.col("spent"),
+                ),
+                F.struct(
+                    (F.col("k") + _INSERT_KEY_OFFSET).alias("k"),
+                    F.lit("I").alias("op"),
+                    F.col("spent"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    merged = c.join(changeset, c.c_custkey == changeset.k, "full")
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce("c_custkey", "k").alias("custkey"),
+        F.when(F.col("op") == "I", F.lit("NEW CUSTOMER"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("op") == "U", F.col("c_acctbal") + F.col("spent"))
+        .when(F.col("op") == "I", F.col("spent"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "I", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+@register(
+    "etl_scd2_intervals",
+    "etl",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_ms(ts), event_id) AS prev_type
+      FROM {_EV}
+    ),
+    changes AS (
+      SELECT user_id, event_type, event_id, ts_ms FROM seq
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS state, ts_ms AS valid_from,
+           coalesce(lead(ts_ms) OVER w, {MAX_TS_MS}) AS valid_to,
+           (lead(ts_ms) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    """,
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: collapse each user's event stream into
+    validity intervals [valid_from, valid_to) that change whenever the
+    observed state (event_type) changes; the last interval is open-ended
+    (sentinel max-int64) and flagged current.  Two window passes over the
+    same user_id partitioning — Catalyst reuses one shuffle + sort for
+    both (lag to find change points, lead to close intervals).  event_id
+    is the tie-breaker making the order total, so ms-duplicate timestamps
+    can't flip interval boundaries between runs or engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    w_seq = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_seq))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .drop("prev_type")
+    )
+    nxt = F.lead("ts_ms").over(w_seq)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_ms").alias("valid_from"),
+        F.coalesce(nxt, F.lit(MAX_TS_MS)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

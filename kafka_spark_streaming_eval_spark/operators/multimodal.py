@@ -224,3 +224,65 @@ def mm_resize_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_kernel,
         schema="doc_id long, orig_bytes long, resized_bytes long, resized_md5 string",
     )
+
+
+@register(
+    "mm_arrow_batch_stats",
+    "multimodal",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE list_max(list_transform(string_split(text, ''),
+                                             c -> CAST(ascii(c) AS BIGINT)))
+           END AS byte_max,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ''),
+                                         c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> xor(a, b)) AS byte_xor
+    FROM documents
+    """,
+)
+def mm_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` feature extraction: the zero-copy sibling of
+    ``mapInPandas`` — the kernel receives ``pyarrow.RecordBatch`` objects
+    directly (no pandas materialization, no object boxing), reads each
+    blob as a numpy uint8 view over the Arrow buffer, and emits a new
+    RecordBatch.  For media work this is the preferred boundary: codecs
+    consume raw buffers, so skipping the pandas detour removes one full
+    copy of every blob.  Features (byte length, max byte, XOR checksum)
+    are integer-exact, so the oracle recomputes them from the source text
+    (ASCII corpus, as with mm_fake_decode_features)."""
+
+    def make_kernel():
+        def arrow_stats(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            for batch in batches:
+                blobs = batch.column("blob")
+                n_bytes, byte_max, byte_xor = [], [], []
+                for b in blobs:
+                    a = np.frombuffer(b.as_buffer(), dtype=np.uint8)
+                    n_bytes.append(a.size)
+                    byte_max.append(int(a.max()) if a.size else -1)
+                    byte_xor.append(int(np.bitwise_xor.reduce(a)) if a.size else 0)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column("doc_id"),
+                        pa.array(n_bytes, pa.int64()),
+                        pa.array(byte_max, pa.int64()),
+                        pa.array(byte_xor, pa.int64()),
+                    ],
+                    names=["doc_id", "n_bytes", "byte_max", "byte_xor"],
+                )
+
+        return arrow_stats
+
+    prep(spark)
+    d = with_media_blob(table(spark, sf_dir, "documents"))
+    return d.select("doc_id", "blob").mapInArrow(
+        make_kernel(),
+        schema="doc_id long, n_bytes long, byte_max long, byte_xor long",
+    )

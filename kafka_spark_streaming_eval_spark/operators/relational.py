@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
-from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.functions.numeric import (
+    DEC,
+    davg,
+    davg_sql,
+    dsum,
+    dsum_sql,
+)
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
 from kafka_spark_streaming_eval_spark.session import prep
@@ -1524,5 +1530,135 @@ def agg_corr_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp_qty_price"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
             "slope_price_per_qty"
+        ),
+    )
+
+
+@register(
+    "join_full_outer_reconcile",
+    "relational",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_custkey, {dsum_sql('o_totalprice')} AS spend_1995
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey, {dsum_sql('o_totalprice')} AS spend_1996
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           coalesce(spend_1995, 0.0) AS spend_1995,
+           coalesce(spend_1996, 0.0) AS spend_1996,
+           (a.o_custkey IS NOT NULL AND b.o_custkey IS NOT NULL) AS active_both
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — the reconciliation shape (completes SURVEY §2.b's
+    inner/left/right/full list; right is the mirror of left).  Two
+    period aggregates are aligned on customer; customers present in only
+    one period survive with the other side nulled, then coalesced.  Both
+    sides are pre-aggregated BEFORE the join, so the full-outer matches
+    one row against one row — at 100 TB this is the difference between
+    joining two ~customer-count tables and a fact-fact row explosion.
+    Aggregation and join share the o_custkey hash partitioning, so AQE
+    collapses them into adjacent stages of one shuffle lineage."""
+    o = _t(spark, sf_dir, "orders")
+
+    def spend(year: int, alias: str) -> DataFrame:
+        return (
+            o.where(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(dsum("o_totalprice").alias(alias))
+        )
+
+    a, b = spend(1995, "spend_1995"), spend(1996, "spend_1996")
+    return a.join(b, "o_custkey", "full").select(
+        F.col("o_custkey").alias("custkey"),
+        F.coalesce("spend_1995", F.lit(0.0)).alias("spend_1995"),
+        F.coalesce("spend_1996", F.lit(0.0)).alias("spend_1996"),
+        (F.col("spend_1995").isNotNull() & F.col("spend_1996").isNotNull()).alias(
+            "active_both"
+        ),
+    )
+
+
+@register(
+    "setop_intersect_all_suppliers",
+    "relational",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1996
+    """,
+)
+def setop_intersect_all_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: each supplier key survives
+    min(count_1995, count_1996) times, preserving shipment-volume weight
+    that the DISTINCT variant (setop_intersect_custkeys) deliberately
+    drops.  Spark plans this as one aggregate per side computing
+    per-key counts plus a join — no row-by-row matching, so it scales as
+    an ordinary groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.year("l_shipdate") == 1995).select("l_suppkey")
+    b = li.where(F.year("l_shipdate") == 1996).select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "setop_except_all_suppliers",
+    "relational",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1996
+    """,
+)
+def setop_except_all_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: suppliers keep
+    max(count_1995 − count_1996, 0) copies, i.e. the shipment volume LOST
+    year-over-year rather than just membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.year("l_shipdate") == 1995).select("l_suppkey")
+    b = li.where(F.year("l_shipdate") == 1996).select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "window_range_frame_trailing",
+    "relational",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1970-01-01', o_orderdate) AS day_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frames in
+    window_running_frame): per customer, the trailing-30-day spend at each
+    order.  The frame is bounded by the ORDER BY *value* (epoch-day), so
+    same-day orders always share a frame and the result is deterministic
+    WITHOUT a unique tie-breaker — the property ROWS frames lack.  The
+    decimal cast keeps the windowed sum order-independent.  One shuffle on
+    o_custkey; at 100 TB this is the standard continuous-metric shape
+    (trailing revenue, rolling exposure) and needs no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    day_n = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day_n)
+        .rangeBetween(-30, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day_n.alias("day_n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_30d_spend"
         ),
     )

@@ -69,6 +69,7 @@ def _load_all() -> None:
     # Import for side effect: each module registers its queries on import.
     from kafka_spark_streaming_eval_spark.operators import (  # noqa: F401
         dedup,
+        etl,
         metrics,
         multimodal,
         pipeline,

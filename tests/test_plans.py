@@ -72,3 +72,20 @@ def test_bucketed_join_no_exchange(spark):
     assert "SortMergeJoin" in plan, plan[:2000]
     assert "Exchange" not in plan, plan[:2000]
     assert "SelectedBucketsCount" in plan, plan[:2000]
+
+
+def test_scd2_single_window_shuffle(spark):
+    """Both SCD2 window passes (lag for change points, lead for interval
+    close) share one user_id partitioning — exactly one exchange."""
+    df = SPECS["etl_scd2_intervals"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_upsert_single_fact_scan(spark):
+    """The changeset fan-out (U/D row + insert row per key) is an explode
+    over ONE orders aggregation — a union formulation would scan and
+    aggregate orders twice."""
+    df = SPECS["etl_merge_upsert"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2  # customer + orders, once each
