@@ -1,0 +1,128 @@
+"""Iterative graph algorithms as DataFrame loops (north-star surface).
+
+The reference has no graph surface; this module supplies the canonical
+iterative-algorithm shape — PageRank — expressed as a driver loop of
+declarative per-iteration plans (join + aggregate), the same pattern as
+``dedup_cluster_components``'s label propagation.  No GraphX/RDDs: each
+iteration is one equi-join of the rank vector against the edge list and one
+aggregation, so at web scale (billions of edges) it is exactly E/P work per
+round with one shuffle keyed on the node id; ``localCheckpoint`` truncates
+the lineage each round (reliable checkpointing on a real cluster).
+
+Determinism contract: the usual decimal-sum trick is not enough here —
+ranks are full-precision doubles whose double→decimal cast can disagree
+cross-engine in the last ulp.  Instead each contribution is quantized to an
+integer grid (``floor(rank·f·1e15)``): floor is tie-free on identical IEEE
+inputs, BIGINT sums are exact and order-independent, and the per-node total
+stays far below 2^53 so the cast back to double is exact.  Both engines
+therefore run the *identical* rank trajectory for all iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+PR_ITERS = 15
+PR_DAMP = 0.85  # literal 0.85/0.15 mirrored as CAST(... AS DOUBLE) in SQL
+_Q = "1e15"  # contribution quantization grid
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-to-nation trade graph: edge (customer nation → supplier
+    nation) weighted by exact-decimal lineitem revenue.  Dimension sides
+    broadcast; the only shuffle is the final groupBy on the edge key."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(dsum("l_extendedprice").alias("w"))
+    )
+
+
+_EDGES_SQL = f"""
+  SELECT cn.n_name AS src, sn.n_name AS dst, {dsum_sql('l_extendedprice')} AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "graph_pagerank_trade",
+    "graph",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_EDGES_SQL}),
+    srcs AS (SELECT DISTINCT src FROM base),
+    edges AS (SELECT * FROM base WHERE dst IN (SELECT src FROM srcs)),
+    outw AS (SELECT src, {dsum_sql('w')} AS ow FROM edges GROUP BY src),
+    frac AS (SELECT e.src, e.dst, e.w / o.ow AS f FROM edges e JOIN outw o USING (src)),
+    nn AS (SELECT count(*) AS n FROM srcs),
+    pr(iter, node, rank) AS (
+      SELECT 0, src, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) FROM srcs
+      UNION ALL
+      SELECT iter+1, f.dst,
+             CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) *
+                 (CAST(SUM(CAST(floor(pr.rank * f.f * {_Q}) AS BIGINT)) AS DOUBLE)
+                  / {_Q})
+      FROM pr JOIN frac f ON pr.node = f.src
+      WHERE iter < {PR_ITERS}
+      GROUP BY iter+1, f.dst
+    )
+    SELECT node, rank AS pagerank FROM pr WHERE iter = {PR_ITERS}
+    """,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph, {PR_ITERS} synchronous
+    iterations, damping 0.85.  The graph is closed over nations with
+    outgoing volume (edges into non-source nations dropped), so the
+    transition matrix is stochastic and no rank leaks.  Each iteration:
+    rank ⨝ edge-fractions (hash join on the node id) → per-target BIGINT
+    sum of 1e-15-quantized contributions → affine damping step.  The
+    oracle replays the identical trajectory as a recursive CTE — exact
+    equality after 15 rounds is the proof both engines agree bit-for-bit.
+    Scale: node state and edges stay partitioned by node id; the driver
+    never sees a row, only the loop counter."""
+    base = trade_edges(spark, sf_dir)
+    srcs = base.select("src").distinct()
+    edges = base.join(srcs.select(F.col("src").alias("dst")), "dst", "leftsemi")
+    outw = edges.groupBy("src").agg(dsum("w").alias("ow"))
+    frac = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("f")
+    )
+    frac = frac.localCheckpoint(eager=True)
+    n = srcs.count()  # node count: tiny scalar, the loop's only driver value
+    ranks = srcs.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = ranks.join(frac, ranks.node == frac.src).select(
+            F.col("dst").alias("node"),
+            F.floor(F.col("rank") * F.col("f") * F.lit(1.0e15)).alias("cb_i"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(0.15) / n
+                + F.lit(PR_DAMP) * (F.sum("cb_i").cast("double") / F.lit(1.0e15))
+            ).alias("rank")
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("pagerank"))

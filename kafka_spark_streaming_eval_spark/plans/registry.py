@@ -70,6 +70,7 @@ def _load_all() -> None:
     from kafka_spark_streaming_eval_spark.operators import (  # noqa: F401
         dedup,
         etl,
+        graph,
         metrics,
         multimodal,
         pipeline,
