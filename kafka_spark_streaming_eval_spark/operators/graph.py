@@ -72,13 +72,24 @@ _EDGES_SQL = f"""
     "graph",
     oracle=f"""
     WITH RECURSIVE base AS ({_EDGES_SQL}),
-    srcs AS (SELECT DISTINCT src FROM base),
-    edges AS (SELECT * FROM base WHERE dst IN (SELECT src FROM srcs)),
-    outw AS (SELECT src, {dsum_sql('w')} AS ow FROM edges GROUP BY src),
-    frac AS (SELECT e.src, e.dst, e.w / o.ow AS f FROM edges e JOIN outw o USING (src)),
-    nn AS (SELECT count(*) AS n FROM srcs),
+    -- DISTINCT-over-UNION-ALL, not bare UNION: inside WITH RECURSIVE DuckDB
+    -- compiles a two-branch UNION as a recursive union and skips the dedup.
+    nodes AS (
+      SELECT DISTINCT src
+      FROM (SELECT src FROM base UNION ALL SELECT dst FROM base)
+    ),
+    outw AS (SELECT src, {dsum_sql('w')} AS ow FROM base GROUP BY src),
+    frac AS (
+      SELECT e.src, e.dst, e.w / o.ow AS f FROM base e JOIN outw o USING (src)
+      UNION ALL
+      SELECT n.src, n.src,
+             CASE WHEN o.src IS NULL THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END
+      FROM nodes n LEFT JOIN outw o ON n.src = o.src
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
     pr(iter, node, rank) AS (
-      SELECT 0, src, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) FROM srcs
+      SELECT 0, src, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) FROM nodes
       UNION ALL
       SELECT iter+1, f.dst,
              CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
@@ -94,25 +105,40 @@ _EDGES_SQL = f"""
 )
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation trade graph, {PR_ITERS} synchronous
-    iterations, damping 0.85.  The graph is closed over nations with
-    outgoing volume (edges into non-source nations dropped), so the
-    transition matrix is stochastic and no rank leaks.  Each iteration:
-    rank ⨝ edge-fractions (hash join on the node id) → per-target BIGINT
-    sum of 1e-15-quantized contributions → affine damping step.  The
-    oracle replays the identical trajectory as a recursive CTE — exact
-    equality after 15 rounds is the proof both engines agree bit-for-bit.
-    Scale: node state and edges stay partitioned by node id; the driver
-    never sees a row, only the loop counter."""
+    iterations, damping 0.85.  Nodes are all nations on either edge end;
+    dangling nodes (no outgoing volume) hold their mass via an f=1
+    self-loop, and every node additionally carries an f=0 self-loop so it
+    receives a contribution row each round even with no real in-edges —
+    the transition matrix is exactly stochastic and total mass stays 1
+    (up to the 1e-15 quantization grid; asserted in
+    tests/test_properties.py).  Each iteration: rank ⨝ edge-fractions
+    (hash join on the node id) → per-target BIGINT sum of quantized
+    contributions → affine damping step.  The oracle replays the identical
+    trajectory as a recursive CTE — exact equality after 15 rounds proves
+    both engines agree bit-for-bit.  Scale: node state and edges stay
+    partitioned by node id; the driver never sees a row, only the loop
+    counter."""
     base = trade_edges(spark, sf_dir)
-    srcs = base.select("src").distinct()
-    edges = base.join(srcs.select(F.col("src").alias("dst")), "dst", "leftsemi")
-    outw = edges.groupBy("src").agg(dsum("w").alias("ow"))
-    frac = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("f")
+    nodes = (
+        base.select("src").union(base.select(F.col("dst").alias("src"))).distinct()
+    )
+    outw = base.groupBy("src").agg(dsum("w").alias("ow"))
+    frac = (
+        base.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("f"))
+        .unionByName(
+            nodes.join(outw, "src", "left").select(
+                "src",
+                F.col("src").alias("dst"),
+                F.when(F.col("ow").isNull(), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("f"),
+            )
+        )
     )
     frac = frac.localCheckpoint(eager=True)
-    n = srcs.count()  # node count: tiny scalar, the loop's only driver value
-    ranks = srcs.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
+    n = nodes.count()  # node count: tiny scalar, the loop's only driver value
+    ranks = nodes.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
     for _ in range(PR_ITERS):
         contrib = ranks.join(frac, ranks.node == frac.src).select(
             F.col("dst").alias("node"),

@@ -1662,3 +1662,32 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_30d_spend"
         ),
     )
+
+
+@register(
+    "join_right_order_recency",
+    "relational",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           max(o.o_orderdate) AS last_order,
+           count(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_right_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (completes the inner/left/right/full quartet):
+    order recency per customer with never-ordered customers preserved as
+    nulls.  Semantically the mirror of join_left_order_counts; written as
+    RIGHT so the plan path (build side = the preserved side) is exercised
+    too."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )

@@ -113,3 +113,18 @@ def test_hll_estimate_within_5pct(spark):
     row = agg_hll_partitioned_merge(spark, SF_DIR).collect()[0]
     assert row.exact_users > 0
     assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.05
+
+
+def test_pagerank_mass_conserved(spark):
+    """PageRank invariants: ranks positive, total mass ~1 (up to the
+    documented 1e-15-grid quantization loss), and the trajectory is
+    run-to-run identical (determinism is the scale feature)."""
+    from kafka_spark_streaming_eval_spark.operators.graph import graph_pagerank_trade
+    from tests.conftest import SF_DIR
+
+    rows = graph_pagerank_trade(spark, SF_DIR).collect()
+    total = sum(r.pagerank for r in rows)
+    assert all(r.pagerank > 0 for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    again = {r.node: r.pagerank for r in graph_pagerank_trade(spark, SF_DIR).collect()}
+    assert {r.node: r.pagerank for r in rows} == again
