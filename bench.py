@@ -59,6 +59,10 @@ HEADLINE = [
     "text_word_freq",
     "text_quality_score",
     "stream_tumbling_counts",
+    "etl_merge_upsert",
+    "graph_pagerank_trade",
+    "timeseries_pattern_match",
+    "text_tfidf_topterms",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

@@ -136,10 +136,17 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    frac = frac.localCheckpoint(eager=True)
     n = nodes.count()  # node count: tiny scalar, the loop's only driver value
+    # Size the loop's partitioning to the state, not the session default:
+    # ~50k nodes per partition, capped at the session shuffle parallelism.
+    # 25 nations → 1 partition (no 32-way shuffles of 25 rows per round);
+    # a billion-node graph → full parallelism.
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = max(1, min(sess_parts, n // 50_000 + 1))
+    frac = frac.coalesce(loop_parts).localCheckpoint(eager=True)
     ranks = nodes.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
-    for _ in range(PR_ITERS):
+    ranks = ranks.coalesce(loop_parts)
+    for it in range(PR_ITERS):
         contrib = ranks.join(frac, ranks.node == frac.src).select(
             F.col("dst").alias("node"),
             F.floor(F.col("rank") * F.col("f") * F.lit(1.0e15)).alias("cb_i"),
@@ -150,5 +157,8 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(PR_DAMP) * (F.sum("cb_i").cast("double") / F.lit(1.0e15))
             ).alias("rank")
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        # Checkpoint every 3rd round (and the last): enough to keep the plan
+        # shallow, without paying a materialization job per iteration.
+        if it % 3 == 2 or it == PR_ITERS - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("pagerank"))

@@ -1691,3 +1691,75 @@ def join_right_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
         )
     )
+
+
+# Triangle-spike query pattern for the subsequence search (1dp literals —
+# every arithmetic step below stays decimal-exact in IEEE doubles).
+_TS_PATTERN = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+
+
+@register(
+    "timeseries_pattern_match",
+    "relational",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n,
+             {dsum_sql('value')} AS v
+      FROM (SELECT * REPLACE (date_trunc('milliseconds', ts) AS ts) FROM events)
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT user_id, day_n,
+             {", ".join(f"lead(v, {j}) OVER (PARTITION BY user_id ORDER BY day_n) AS v{j}" for j in range(7))}
+      FROM daily
+    ),
+    scored AS (
+      SELECT user_id, day_n,
+             {" + ".join(f"(v{j} - CAST({q} AS DOUBLE)) * (v{j} - CAST({q} AS DOUBLE))" for j, q in enumerate([10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]))} AS dist2
+      FROM lagged
+      WHERE {" AND ".join(f"v{j} IS NOT NULL" for j in range(7))}
+    )
+    SELECT user_id, day_n AS best_day, dist2
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY dist2, day_n) = 1
+    """,
+)
+def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-similarity
+    shape of Time Series Similarity Search for Streaming Data in
+    Distributed Systems, EDBT 2019, re-expressed relationally): slide a
+    7-day query pattern over each user's daily-aggregate series and return
+    the best-matching anchor day by squared euclidean distance.  The
+    sliding window is 7 ``lead()`` columns over one (user, day) sort — no
+    self-join, no explode: at 100 TB this is a single shuffle on user_id
+    and the per-row cost is 7 subtract-square-adds.  All arithmetic is
+    decimal-exact (2dp daily sums vs 1dp pattern literals, sequential
+    left-to-right addition in both engines), so dist2 hash-matches
+    bit-for-bit; ties break on the earliest day."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.unix_date(F.col("ts").cast("date")).alias("day_n")
+    ).agg(dsum("value").alias("v"))
+    w = W.partitionBy("user_id").orderBy("day_n")
+    lagged = daily.select(
+        "user_id",
+        "day_n",
+        *[F.lead("v", j).over(w).alias(f"v{j}") for j in range(7)],
+    )
+    cond = F.col("v0").isNotNull()
+    for j in range(1, 7):
+        cond = cond & F.col(f"v{j}").isNotNull()
+    dist2 = None
+    for j, q in enumerate(_TS_PATTERN):
+        term = (F.col(f"v{j}") - F.lit(q)) * (F.col(f"v{j}") - F.lit(q))
+        dist2 = term if dist2 is None else dist2 + term
+    scored = lagged.where(cond).select(
+        "user_id", "day_n", dist2.alias("dist2")
+    )
+    wr = W.partitionBy("user_id").orderBy("dist2", "day_n")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("day_n").alias("best_day"), "dist2")
+    )
