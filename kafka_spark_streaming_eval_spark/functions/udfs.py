@@ -267,3 +267,31 @@ def udf_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_ms long, last_click_value double",
         )
     )
+
+
+@register(
+    "udf_arrow_optimized",
+    "udf-surface",
+    oracle="""
+    SELECT p_partkey, reverse(p_name) AS name_rev, length(p_name) AS name_len
+    FROM part
+    """,
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``): the
+    middle ground between row-at-a-time pickling (``udf_python_vowels``)
+    and a hand-written pandas UDF — same scalar-function authoring model,
+    but arguments/results cross the JVM boundary as Arrow record batches.
+    The kernel is a codepoint-reversal, bit-identical to the oracle's
+    ``reverse`` on this ASCII column."""
+
+    def reverse_py(s):
+        return None if s is None else s[::-1]
+
+    rev = udf(reverse_py, "string", useArrow=True)
+    p = table(prep(spark), sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        rev("p_name").alias("name_rev"),
+        F.length("p_name").alias("name_len"),
+    )

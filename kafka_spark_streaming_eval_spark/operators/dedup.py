@@ -530,3 +530,55 @@ def dedup_incremental_against_corpus(spark: SparkSession, sf_dir: str) -> DataFr
         .where(F.col("_rn") == 1)
         .select("doc_id", "content_hash")
     )
+
+
+@register(
+    "dedup_levenshtein_block",
+    "dedup",
+    oracle="""
+    WITH blocked AS (
+      SELECT doc_id, lang, n_chars // 20 AS len_bucket,
+             substr(lower(text), 1, 32) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           levenshtein(a.prefix, b.prefix) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 8
+    """,
+)
+def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection under blocking: documents pair up
+    only within a (language, length-bucket) block, then a 32-char prefix
+    Levenshtein <= 8 confirms near-duplicates.  This is the classic record-
+    linkage "blocking" pattern: the quadratic comparator runs inside blocks
+    whose size is bounded by data layout, never across the corpus — same
+    scale shape as the LSH bucket join (the equi-join on the block key is
+    one hash shuffle; candidates, not the corpus, pay the O(k^2)).  The
+    comparator runs on a fixed-length prefix so cost per pair is bounded
+    (O(32^2) cells), the standard trick when full-text edit distance is
+    unaffordable.  Built-in ``levenshtein`` — JVM-side, no UDF."""
+    d = _docs(spark, sf_dir)
+    blocked = d.select(
+        "doc_id",
+        "lang",
+        F.expr("n_chars div 20").alias("len_bucket"),
+        F.substring(F.lower("text"), 1, 32).alias("prefix"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.prefix"), F.col("b.prefix")) <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+        )
+    )

@@ -1,0 +1,243 @@
+"""Data-quality / profiling extensions (north-star surface, SURVEY.md §2.b):
+exact heavy-hitter detection, a single-scan constraint audit, OHLC
+time-series resampling, and a bitwise-expression battery.
+
+These are the operational queries a 100 TB training-data pipeline runs
+continuously: "which keys dominate the traffic" (skew detection feeding the
+salting strategies in ``agg_salted_skew``/``join_salted_skew``), "does
+today's drop satisfy the schema contract" (the audit gate before a
+partition is published), and "downsample the raw stream to bars" (the
+storage-side rollup that turns 10^12 raw events into 10^7 plottable rows).
+
+Everything is built-in column functions — single scans, map-side partial
+aggregation, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
+from kafka_spark_streaming_eval_spark.operators.metrics import _EV
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, name)
+
+
+@register(
+    "agg_heavy_hitters",
+    "relational",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events
+    FROM counts
+    WHERE n_events * 135 > (SELECT count(*) FROM events)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters: users contributing more than 1/135 of all
+    events.  Two aggregates over one scan — the per-key counts (map-side
+    partial agg, one shuffle on user_id) and a global count broadcast as a
+    1-row scalar — compared in pure integer arithmetic (``n * 135 > total``,
+    no float threshold).  This is the exact verification pass behind sketch
+    pipelines (count-min / SpaceSaving find candidates cheaply, this query
+    confirms them); it is also the skew detector that decides which keys the
+    salted-join/agg strategies treat specially.  At 100 TB the per-key agg
+    is the classic combiner shape and the scalar side is a broadcast — the
+    plan has exactly one wide dependency.  Mirrors the scalar-subquery
+    threshold pattern of the reference's warm-up window
+    (analyze_exp1.py:53-68: filter against an aggregate of the same scan).
+    """
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") * 135 > F.col("_total"))
+        .select("user_id", "n_events")
+    )
+
+
+@register(
+    "timeseries_resample_ohlc",
+    "timeseries",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, date_trunc('day', ts) AS day, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM {_EV}
+    )
+    SELECT event_type, epoch_ms(day) AS day_ms,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS volume,
+           {dsum_sql('value')} AS turnover
+    FROM ordered
+    GROUP BY event_type, day
+    """,
+)
+def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to daily OHLC bars per event_type — the
+    standard downsample that turns a raw tick stream into chartable
+    open/high/low/close/volume aggregates.  Open/close are first/last by
+    event time with (ts, event_id) as the deterministic tie-breaker,
+    expressed as ascending/descending ``row_number`` flags folded into one
+    hash aggregate (no self-join, no ``first()`` nondeterminism).  Plan:
+    one shuffle on (event_type, day) serving both windows and the final
+    agg — the window partition key equals the grouping key, so AQE reuses
+    the exchange.  At 100 TB the partition key is (type × day), fine-
+    grained and uniform; bars are tiny and the output is ~10^5 smaller
+    than the input, the canonical rollup-for-storage shape."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    wa = W.partitionBy("event_type", day).orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = ev.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return flagged.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        dsum("value").alias("turnover"),
+    ).select(
+        "event_type",
+        F.unix_millis("day").alias("day_ms"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "turnover",
+    )
+
+
+@register(
+    "etl_quality_audit",
+    "etl",
+    oracle="""
+    SELECT 'null_custkey' AS check_name,
+           count(*) FILTER (WHERE o_custkey IS NULL) AS n_bad FROM orders
+    UNION ALL
+    SELECT 'nonpositive_price', count(*) FILTER (WHERE o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'bad_status',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'date_out_of_range',
+           count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+                               OR o_orderdate >= TIMESTAMP '2026-01-01')
+    FROM orders
+    UNION ALL
+    SELECT 'legacy_pre_1996', count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1996-01-01')
+    FROM orders
+    UNION ALL
+    SELECT 'dup_orderkey', count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'orphan_custkey', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def etl_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-publish data-quality gate: one audit row per constraint with its
+    violation count — nullability, value-range, domain membership, date
+    sanity, key uniqueness, and referential integrity (orphan foreign
+    keys).  The six column-level checks fuse into a SINGLE scan of orders
+    (one agg emitting six conditional counts, unpivoted via ``stack``);
+    the referential check is a broadcast anti-join (customer keys are the
+    small side).  This is the defensive-ingestion layer of the reference
+    (analyze_exp1.py:35-44 column whitelist + coercion + null-drop)
+    promoted to a first-class, reportable operator.  At 100 TB the scan is
+    embarrassingly parallel, the agg collapses to 7 numbers, and the gate
+    runs per-partition before a partition is published."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cnt = lambda cond: F.count_if(cond).cast("long")  # noqa: E731
+    stats = o.agg(
+        cnt(F.col("o_custkey").isNull()).alias("null_custkey"),
+        cnt(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        cnt(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        cnt(
+            (F.col("o_orderdate") < "1992-01-01")
+            | (F.col("o_orderdate") >= "2026-01-01")
+        ).alias("date_out_of_range"),
+        cnt(F.col("o_orderdate") < "1996-01-01").alias("legacy_pre_1996"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+    )
+    unpivoted = stats.selectExpr(
+        "stack(6, 'null_custkey', null_custkey,"
+        " 'nonpositive_price', nonpositive_price,"
+        " 'bad_status', bad_status,"
+        " 'date_out_of_range', date_out_of_range,"
+        " 'legacy_pre_1996', legacy_pre_1996,"
+        " 'dup_orderkey', dup_orderkey) AS (check_name, n_bad)"
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("orphan_custkey").alias("check_name"), "n_bad")
+    )
+    return unpivoted.unionByName(orphans)
+
+
+@register(
+    "scalar_bitwise_battery",
+    "relational",
+    oracle="""
+    SELECT p_partkey,
+           bit_count(p_partkey) AS bc,
+           p_partkey & 255 AS band,
+           p_partkey | 4096 AS bor,
+           xor(p_partkey, 21845) AS bxor,
+           (~p_partkey) & 65535 AS bnot_masked,
+           p_partkey << 3 AS shl,
+           p_partkey >> 2 AS shr
+    FROM part
+    """,
+)
+def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-expression battery over bigint keys: popcount, AND/OR/XOR,
+    masked NOT, shifts.  These are the primitives under the engine's
+    bit-level operators (simhash Hamming distance in ``dedup_simhash``,
+    Morton-curve interleave in ``src_zorder_clustered_scan``, HLL register
+    packing) — all pure JVM integer arithmetic inside whole-stage codegen,
+    identical two's-complement semantics on both engines."""
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        F.bit_count(k).alias("bc"),
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(21845)).alias("bxor"),
+        F.bitwise_not(k).bitwiseAND(F.lit(65535)).alias("bnot_masked"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+    )

@@ -74,6 +74,7 @@ def _load_all() -> None:
         metrics,
         multimodal,
         pipeline,
+        quality,
         relational,
         similarity,
         text,

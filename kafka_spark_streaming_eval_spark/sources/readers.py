@@ -419,3 +419,34 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "src_orc_roundtrip_scan",
+    "sources",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           {dsum_sql('l_extendedprice')} AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format: lineitem rewritten as ORC, re-read with a
+    ship-date predicate and aggregated.  Spark's ORC reader has the same
+    pushdown machinery as parquet (PushedFilters + min/max stripe-stat
+    skipping + column pruning), so a format migration changes storage
+    bytes, not query plans — the format-interchangeability guarantee a
+    multi-tenant 100 TB lake needs.  The oracle reads the original parquet:
+    matching results prove the roundtrip is lossless (types, timestamps,
+    doubles) across formats."""
+    base = "/tmp/lineitem_orc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    li = table(prep(spark), sf_dir, "lineitem")
+    shutil.rmtree(base, ignore_errors=True)
+    li.write.mode("overwrite").orc(base)
+    back = spark.read.orc(base).where(F.col("l_shipdate") >= "1998-01-01")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
