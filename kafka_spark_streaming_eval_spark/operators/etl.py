@@ -19,6 +19,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -165,4 +168,44 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ms").alias("valid_from"),
         F.coalesce(nxt, F.lit(MAX_TS_MS)).alias("valid_to"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "etl_compaction_binpack",
+    "etl",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           {dsum_sql('l_extendedprice')} AS total_price,
+           {dsum_sql('l_quantity')} AS total_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance job every streaming sink
+    needs: a fragmented table (48 tiny parquet files, the shape a
+    per-trigger micro-batch sink leaves behind) is rewritten into a few
+    right-sized files via a shuffle-free ``coalesce``.  The audit
+    aggregate runs over the COMPACTED copy and must match the oracle over
+    the original table — compaction is proven content-lossless, not just
+    file-count-smaller (the file-count reduction itself is asserted in
+    tests/test_plans.py).  At 100 TB this is the OPTIMIZE/bin-packing
+    pass: coalesce plans one task per output file reading whole input
+    files, no shuffle, no sort, so it scales with output size."""
+    li = _t(spark, sf_dir, "lineitem")
+    frag = "/tmp/li_frag_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    compact = "/tmp/li_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compact, ignore_errors=True)
+    li.repartition(48).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        dsum("l_quantity").alias("total_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )

@@ -162,3 +162,78 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it % 3 == 2 or it == PR_ITERS - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+BFS_MAX_HOPS = 6
+
+
+@register(
+    "graph_bfs_shortest_path",
+    "graph",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE (c.c_nationkey * 31 + s.s_nationkey * 17) % 7 < 2
+        AND c.c_nationkey <> s.s_nationkey
+    ),
+    bfs AS (
+      SELECT CAST(0 AS INTEGER) AS node, CAST(0 AS INTEGER) AS dist
+      UNION
+      SELECT e.dst, bfs.dist + 1
+      FROM bfs JOIN edges e ON e.src = bfs.node
+      WHERE bfs.dist < {BFS_MAX_HOPS}
+    )
+    SELECT node, min(dist) AS hops FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest path (BFS hop count) over the
+    nation-to-nation trade graph, sparsified by a deterministic key
+    predicate so the graph has real multi-hop structure (the raw trade
+    graph is near-complete).  The Spark side is the frontier-relaxation
+    loop: each round joins the current distance vector against the edge
+    list and folds ``min`` per node — one shuffle keyed on node id per
+    round, E/P work, the exact shape of Pregel's BFS superstep.  The
+    oracle is the textbook recursive CTE with ``UNION`` (set) semantics;
+    both engines converge to identical integer hop counts because hops
+    are exact and the iteration cap is shared.  ``localCheckpoint``
+    truncates lineage each round, same as ``graph_pagerank_trade``.  At
+    web scale the distance vector partitions by node and the edge list is
+    the only big operand — BFS state is O(V), never O(paths)."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            c.c_nationkey.cast("int").alias("src"),
+            s.s_nationkey.cast("int").alias("dst"),
+        )
+        .where(
+            ((F.col("src") * 31 + F.col("dst") * 17) % 7 < 2)
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # materialize once; 6 rounds re-join this
+    )
+    dist = spark.createDataFrame([(0, 0)], "node int, dist int")
+    for _ in range(BFS_MAX_HOPS):
+        nxt = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").alias("hops"))

@@ -1763,3 +1763,173 @@ def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", F.col("day_n").alias("best_day"), "dist2")
     )
+
+
+@register(
+    "scalar_null_battery",
+    "relational",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           nullif(c_acctbal, 0.0) AS bal_nz,
+           ifnull(nullif(c_mktsegment, 'MACHINERY'), 'WAS_MACHINERY') AS seg_ifnull,
+           CASE WHEN nullif(c_acctbal, 0.0) IS NOT NULL
+                THEN 'has_bal' ELSE 'zero_bal' END AS nvl2_bal,
+           (nullif(c_acctbal, 0.0) IS NULL) AS is_zero,
+           (c_acctbal / (c_acctbal - c_acctbal)) IS NOT DISTINCT FROM NULL
+             AS zero_div_is_null,
+           coalesce(nullif(c_nationkey, 0), -1) AS nation_or_neg
+    FROM customer
+    """,
+)
+def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling battery: ``nullif``/``coalesce``/``ifnull``/``nvl2``
+    and null-safe comparison (``IS NOT DISTINCT FROM`` = Spark ``eqNullSafe``).
+    Three-valued logic is where engines quietly diverge (NULL propagation
+    through arithmetic, null-safe equality, CASE fallthrough); this battery
+    pins the semantics bit-for-bit against the oracle.  All codegen'd
+    expressions — null checks never leave the JVM."""
+    c = _t(spark, sf_dir, "customer")
+    bal_nz = F.nullif(F.col("c_acctbal"), F.lit(0.0))
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        bal_nz.alias("bal_nz"),
+        F.ifnull(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("WAS_MACHINERY")).alias(
+            "seg_ifnull"
+        ),
+        F.nvl2(bal_nz, F.lit("has_bal"), F.lit("zero_bal")).alias("nvl2_bal"),
+        bal_nz.isNull().alias("is_zero"),
+        # ANSI Spark raises on /0; try_divide yields NULL = DuckDB's x/0.
+        # Null-safe equality (eqNullSafe == IS NOT DISTINCT FROM) pins it.
+        F.try_divide(F.col("c_acctbal"), F.col("c_acctbal") - F.col("c_acctbal"))
+        .eqNullSafe(F.lit(None).cast("double"))
+        .alias("zero_div_is_null"),
+        F.coalesce(F.nullif("c_nationkey", F.lit(0)), F.lit(-1)).alias("nation_or_neg"),
+    )
+
+
+@register(
+    "window_streak_islands",
+    "relational",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n
+      FROM {_EV} WHERE event_type = 'purchase'
+    ),
+    islands AS (
+      SELECT user_id, day_n,
+             day_n - dense_rank() OVER (PARTITION BY user_id ORDER BY day_n)
+               AS island
+      FROM days
+    )
+    SELECT user_id, count(*) AS streak_days, min(day_n) AS streak_start_day
+    FROM islands
+    GROUP BY user_id, island
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY count(*) DESC, min(day_n)) = 1
+    """,
+)
+def window_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive purchase days per user
+    (the classic streak/retention query).  ``day - dense_rank(day)`` is
+    constant within a consecutive run, so one window pass turns runs into
+    group keys — no self-join, no sequence explosion.  Plan: distinct on
+    (user, day) — one shuffle that also serves the window (same partition
+    key) — then a groupBy on (user, island) that reuses the hash
+    partitioning, then a per-user top-1.  State per task is bounded by one
+    user's history; the key is uniform at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    days = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+                "day_n"
+            ),
+        )
+        .distinct()
+    )
+    wd = W.partitionBy("user_id").orderBy("day_n")
+    islands = days.withColumn("island", F.col("day_n") - F.dense_rank().over(wd))
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day_n").alias("streak_start_day"),
+    )
+    wr = W.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start_day")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start_day")
+    )
+
+
+@register(
+    "join_lateral_topk",
+    "relational",
+    oracle="""
+    SELECT n.n_name AS nation, l.c_name, l.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: for each nation, its top-3
+    customers by account balance (custkey tiebreak).  Spark decorrelates
+    the lateral ``ORDER BY … LIMIT`` into a ranked window join — the same
+    physical plan as the explicit ``row_number`` top-k
+    (``topk_parts_per_brand``), proving the SQL surface and the DataFrame
+    surface meet at one plan.  The per-group LIMIT bounds every group's
+    output to k rows, so the join output is |nation| x 3 regardless of
+    customer-table scale."""
+    spark = prep(spark)
+    table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, l.c_name, l.c_acctbal
+        FROM lat_nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM lat_customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+        """
+    )
+
+
+@register(
+    "scalar_variant_json",
+    "relational",
+    oracle=f"""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT AS k_int,
+           json_extract(props, '$.k')::DOUBLE / 2.0 AS k_half,
+           (json_extract(props, '$.k')::BIGINT % 10 = 0) AS k_decimal,
+           json_extract_string(props, '$.missing') AS missing_str
+    FROM {_EV}
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` decodes once into a binary-encoded variant, then typed
+    ``try_variant_get`` path extractions — the open-schema JSON model
+    (one decode, many typed reads) that replaces per-field
+    ``get_json_object`` string re-parsing.  At 100 TB the decode is
+    map-only and the variant's shredded binary layout keeps path reads
+    O(field), not O(document).  Missing paths yield NULL (``try_`` form),
+    matching SQL json_extract semantics."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_int"),
+        (F.try_variant_get(v, "$.k", "double") / 2.0).alias("k_half"),
+        (F.try_variant_get(v, "$.k", "bigint") % 10 == 0).alias("k_decimal"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
+    )

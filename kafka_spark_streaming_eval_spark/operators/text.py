@@ -303,3 +303,35 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("doc_id", "word", "tf", "df", "rarity")
     )
+
+
+@register(
+    "text_posexplode_tokens",
+    "text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    )
+    SELECT doc_id, pos, token, length(token) AS tok_len
+    FROM toks
+    WHERE pos < 8
+    """,
+)
+def text_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal tokenization: ``posexplode`` emits (position, token) pairs,
+    the table-generator shape under any positional text feature (n-gram
+    windows, BPE pair counting, prefix features).  The position comes from
+    the generator itself — no window function, no shuffle; the oracle's
+    parallel-``unnest`` zip is the same zero-join construction.  The
+    ``pos < 8`` prefix filter shows generator output is filterable before
+    anything wide happens (Catalyst pushes it into the generate's child
+    consumer) — at 100 TB you keep 8 tokens/doc, not the full explosion."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .where(F.col("pos") < 8)
+        .select("doc_id", "pos", "token", F.length("token").alias("tok_len"))
+    )

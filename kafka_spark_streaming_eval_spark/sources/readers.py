@@ -450,3 +450,54 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@register(
+    "src_json_roundtrip_scan",
+    "sources",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS total_value,
+           min(epoch_ms(ts)) AS first_ms,
+           max(epoch_ms(ts)) AS last_ms
+    FROM {_EV}
+    GROUP BY event_type
+    """,
+)
+def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines roundtrip of the events table — the reference's native
+    wire format (one JSON object per Kafka message, producer.py:21) as a
+    *file* source: write newline-delimited JSON, re-read with an explicit
+    StructType (never schema inference — SURVEY §1.3), aggregate, match
+    the parquet oracle bit-for-bit.  Timestamps travel as epoch-ms longs
+    exactly like the reference wire schema (created_ts, producer.py:40),
+    which sidesteps JSON's timezone-ambiguous timestamp strings; doubles
+    survive because Jackson emits shortest-roundtrip literals.  At 100 TB
+    JSON is the ingest edge, not the storage format — this query is the
+    bridge that proves JSON-in equals parquet-in."""
+    base = "/tmp/events_json_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ev = table(prep(spark), sf_dir, "events")
+    shutil.rmtree(base, ignore_errors=True)
+    (
+        ev.select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .write.mode("overwrite")
+        .json(base)
+    )
+    back = spark.read.schema(
+        "event_id bigint, ts_ms bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    ).json(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.min("ts_ms").alias("first_ms"),
+        F.max("ts_ms").alias("last_ms"),
+    )

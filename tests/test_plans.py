@@ -89,3 +89,25 @@ def test_merge_upsert_single_fact_scan(spark):
     df = SPECS["etl_merge_upsert"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2  # customer + orders, once each
+
+
+def test_compaction_reduces_files(spark):
+    """etl_compaction_binpack: the compacted copy must have strictly fewer
+    files than the 48-way fragmented copy, and the audit agg runs over it."""
+    import glob
+    import hashlib
+
+    SPECS["etl_compaction_binpack"].fn(spark, SF_DIR).collect()
+    suffix = hashlib.md5(SF_DIR.encode()).hexdigest()[:12]
+    n_frag = len(glob.glob(f"/tmp/li_frag_{suffix}/part-*"))
+    n_comp = len(glob.glob(f"/tmp/li_compact_{suffix}/part-*"))
+    assert n_frag == 48, n_frag
+    assert n_comp <= 4, n_comp
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """join_lateral_topk: Spark must decorrelate the LATERAL ORDER BY/LIMIT
+    into a ranked-window plan, not execute a per-row subquery."""
+    df = SPECS["join_lateral_topk"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
