@@ -1933,3 +1933,193 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.try_variant_get(v, "$.k", "bigint") % 10 == 0).alias("k_decimal"),
         F.try_variant_get(v, "$.missing", "string").alias("missing_str"),
     )
+
+
+@register(
+    "scalar_regexp_battery",
+    "relational",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '([a-z]+)', 1) AS words,
+           len(regexp_extract_all(p_name, 'a', 0)) AS n_a,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^[a-m]') AS starts_low,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word
+    FROM part
+    """,
+)
+def scalar_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression battery: extract-all (array result), match
+    counting, global replace, anchored boolean match, group extraction.
+    Spark's ``regexp_replace`` is global by default — the oracle needs
+    DuckDB's explicit ``'g'`` flag, exactly the cross-engine semantics
+    difference a battery exists to pin.  All JVM-codegen'd; regex state
+    machines compile once per task, not per row."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract_all("p_name", F.lit("([a-z]+)"), 1).alias("words"),
+        F.regexp_count("p_name", F.lit("a")).alias("n_a"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_low"),
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+    )
+
+
+@register(
+    "scalar_codec_battery",
+    "relational",
+    oracle="""
+    SELECT s_suppkey,
+           md5(s_name) AS name_md5,
+           sha256(s_name) AS name_sha256,
+           hex(s_name::BLOB) AS name_hex,
+           to_base64(s_name::BLOB) AS name_b64,
+           decode(from_base64(to_base64(s_name::BLOB))) = s_name AS b64_roundtrip,
+           decode(unhex(hex(s_name::BLOB))) = s_name AS hex_roundtrip
+    FROM supplier
+    """,
+)
+def scalar_codec_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec battery: md5 / sha-256 digests, hex and base64
+    encode/decode with roundtrip identity proofs.  These are the
+    primitives under content-addressed dedup (``dedup_exact_content_hash``),
+    shard assignment, and wire-format encoding; all JVM intrinsics
+    (commons-codec / MessageDigest), zero Python.  Hex case and base64
+    padding are pinned cross-engine by the exact string compare."""
+    s = _t(spark, sf_dir, "supplier")
+    raw = F.col("s_name").cast("binary")
+    return s.select(
+        "s_suppkey",
+        F.md5(raw).alias("name_md5"),
+        F.sha2(raw, 256).alias("name_sha256"),
+        F.hex(raw).alias("name_hex"),
+        F.base64(raw).alias("name_b64"),
+        (F.unbase64(F.base64(raw)).cast("string") == F.col("s_name")).alias(
+            "b64_roundtrip"
+        ),
+        (F.unhex(F.hex(raw)).cast("string") == F.col("s_name")).alias("hex_roundtrip"),
+    )
+
+
+@register(
+    "scalar_try_battery",
+    "relational",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(p_type AS INTEGER) AS type_as_int,
+           try_cast(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           100.0 / nullif(p_size - 25, 0) AS div_or_null,
+           CAST(CASE WHEN p_size % 2 = 1 THEN NULL
+                ELSE 9223372036854775806 END AS VARCHAR) AS add_or_null,
+           (string_split(p_name, ' '))[9999] AS oob_token,
+           try_cast(p_brand AS DECIMAL(5, 1)) AS brand_num
+    FROM part
+    """,
+)
+def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety battery: Spark 4 runs ANSI SQL (overflow, bad
+    casts and /0 are runtime ERRORS), so production pipelines reach for
+    the ``try_`` family — NULL-on-failure versions of cast/add/divide and
+    out-of-bounds element access.  The oracle expresses the same semantics
+    in DuckDB's always-try dialect (nullif guards, conditional overflow).
+    This is the coercion layer of the reference's defensive ingestion
+    (``to_numeric(errors='coerce')``, analyze_exp1.py:42-44) in engine
+    form."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_type").try_cast("int").alias("type_as_int"),
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+        F.try_divide(F.lit(100.0), F.col("p_size") - 25).alias("div_or_null"),
+        # near-max bigint survives only via string: pandas' nullable-int
+        # fetch degrades int64 to float64, losing the last bits
+        F.try_add(F.lit(9223372036854775806), ((F.col("p_size") % 2) * 2).cast("bigint"))
+        .cast("string")
+        .alias("add_or_null"),
+        F.try_element_at(F.split("p_name", " "), F.lit(9999)).alias("oob_token"),
+        F.col("p_brand").try_cast("decimal(5,1)").alias("brand_num"),
+    )
+
+
+@register(
+    "scalar_xml_parse",
+    "relational",
+    oracle="""
+    SELECT o_orderkey, o_orderkey AS xk, o_orderstatus AS xs,
+           o_orderpriority AS xp
+    FROM orders
+    """,
+)
+def scalar_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML decode (Spark 4 native ``from_xml``): each order row is
+    serialized to an XML fragment and parsed back with an explicit schema
+    — the parse must reproduce the source columns exactly, which is what
+    the oracle checks (it reads the originals; any parser loss breaks the
+    hash).  Only exactly-stringifiable types travel through the XML (long
+    keys, strings) so the identity is bit-exact.  This is the third
+    semi-structured decode surface next to ``from_json``
+    (``ref_json_decode``) and VARIANT (``scalar_variant_json``) — one
+    engine, three wire formats, same explicit-schema posture."""
+    o = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></o>"),
+    )
+    parsed = o.select(
+        "o_orderkey", F.from_xml(xml, "k BIGINT, s STRING, p STRING").alias("x")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("x.k").alias("xk"),
+        F.col("x.s").alias("xs"),
+        F.col("x.p").alias("xp"),
+    )
+
+
+@register(
+    "agg_mode_median",
+    "relational",
+    oracle="""
+    WITH freq AS (
+      SELECT l_returnflag, l_quantity, count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM freq
+      QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY c DESC, l_quantity) = 1
+    ),
+    meds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median_qty,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, m.median_qty, m.n_rows, mo.mode_qty
+    FROM meds m JOIN modes mo USING (l_returnflag)
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics: per-group exact ``median`` (linear
+    interpolation) and DETERMINISTIC ``mode`` (Spark's two-arg
+    ``mode(col, true)``: greatest frequency, lowest value on ties — the
+    only mode a reproducible pipeline can ship; the oracle spells the
+    identical tie-break as an explicit ranked window).  Exactness over a
+    ~25-value domain is cheap at any scale: the partial state is one
+    (value → count) map per group, mergeable map-side, so the shuffle
+    moves histograms, not rows — the same reason ``percentile_approx``
+    exists for wide domains (``agg_percentiles_exact`` documents the
+    wide-domain contrast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("mode(l_quantity, true)").alias("mode_qty"),
+    )

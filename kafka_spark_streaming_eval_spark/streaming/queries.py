@@ -321,3 +321,139 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
+
+
+def _left_outer_staged_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a stream directory for the left-outer join: the real events
+    file plus three far-future single-row sentinel files.  Structured
+    Streaming only emits null-padded unmatched rows when a LATER batch
+    runs with an advanced watermark; sentinel batches advance it and
+    subsequent batches run eviction under it (empirically the flush lands
+    two batches behind the last data batch).  (``maxFilesPerTrigger=1``
+    turns each file into its own micro-batch.)"""
+    import hashlib
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = "/tmp/spark_stream_loj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    import pyarrow.compute as pc
+
+    orig = pq.read_table(src)
+    max_ts = pc.max(orig.column("ts").cast(pa.int64())).as_py()
+    decade_ns = 10 * 365 * 24 * 3600 * 1_000_000_000
+    for i, name in enumerate(
+        ["sentinel_a.parquet", "sentinel_b.parquet", "sentinel_c.parquet"]
+    ):
+        # one click + one view per sentinel: the rows must SURVIVE each
+        # side's event_type filter (pushed below the watermark operator)
+        # or the watermark never advances; user_id -1 marks them for
+        # removal from the final result
+        row = {
+            "event_id": [-(2 * i + 1), -(2 * i + 2)],
+            "ts": [max_ts + (i + 1) * decade_ns] * 2,
+            "user_id": [-1, -1],
+            "event_type": ["click", "view"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        t = pa.table(
+            {
+                f.name: pa.array(row[f.name], type=pa.int64()).cast(f.type)
+                if pa.types.is_timestamp(f.type)
+                else pa.array(row[f.name], type=f.type)
+                for f in orig.schema
+            },
+            schema=orig.schema,
+        )
+        path = os.path.join(d, name)
+        pq.write_table(t, path)
+        # file source orders batches by mod time: sentinels strictly after
+        os.utime(path, (time.time() + 10 * (i + 1), time.time() + 10 * (i + 1)))
+    open(os.path.join(d, "_READY"), "w").close()
+    return d
+
+
+@register(
+    "stream_stream_left_outer_join",
+    "streaming",
+    oracle=f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM {_EV} WHERE event_type = 'click'),
+         v AS (SELECT event_id, user_id, ts FROM {_EV} WHERE event_type = 'view')
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           epoch_ms(c.ts) - epoch_ms(v.ts) AS gap_ms
+    FROM c LEFT JOIN v
+      ON c.user_id = v.user_id
+     AND v.ts >= c.ts - INTERVAL 6 HOUR AND v.ts <= c.ts
+    """,
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — paired
+    with same-user views from the preceding 6 h when they exist, null-padded
+    otherwise.  The outer side is the genuinely stateful part: an unmatched
+    click can only emit once the watermark proves no matching view can
+    still arrive, so emission is driven by watermark advancement, not data
+    arrival.  The staged source appends two far-future sentinel batches
+    because eviction runs one batch behind the watermark update — the
+    deterministic replay of the production situation where outer results
+    trail the stream by one trigger.  State scales exactly like the inner
+    variant (``stream_stream_interval_join``): keyed by user_id, bounded
+    by the 6 h interval + watermark delay.  The oracle is the identical
+    LEFT JOIN in batch SQL — batch/stream equivalence including the null
+    rows."""
+    prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = _left_outer_staged_dir(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_millis(F.expr("ts div 1000000"))
+        ).withWatermark("ts", "1 hour")
+
+    clicks = (
+        side()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    views = (
+        side()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("view_ts") <= F.col("click_ts")),
+        "leftOuter",
+    )
+    out = _run_to_table(joined, "append")
+    return out.where(F.col("user_id") >= 0).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
+    )
