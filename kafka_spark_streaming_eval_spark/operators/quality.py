@@ -58,7 +58,10 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    total = ev.agg(F.count(F.lit(1)).alias("_total"))
+    # total = sum of the per-key counts: derives from the SAME aggregation
+    # subtree, so the corpus is scanned once and AQE reuses the exchange
+    # (the second pass runs over |distinct keys| rows, not |events| rows)
+    total = counts.agg(F.sum("n_events").alias("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .where(F.col("n_events") * 135 > F.col("_total"))
@@ -101,14 +104,19 @@ def timeseries_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     grained and uniform; bars are tiny and the output is ~10^5 smaller
     than the input, the canonical rollup-for-storage shape."""
     ev = _t(spark, sf_dir, "events")
-    day = F.date_trunc("day", "ts")
-    wa = W.partitionBy("event_type", day).orderBy("ts", "event_id")
-    wd = W.partitionBy("event_type", day).orderBy(
+    # project `day` FIRST so the window partition spec and the final
+    # groupBy reference the same attribute — expression-keyed windows plan
+    # a second exchange even when semantically equal to the grouping key
+    based = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value", "ts", "event_id"
+    )
+    wa = W.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "day").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
-    flagged = ev.select(
+    flagged = based.select(
         "event_type",
-        day.alias("day"),
+        "day",
         "value",
         F.row_number().over(wa).alias("rn_a"),
         F.row_number().over(wd).alias("rn_d"),
