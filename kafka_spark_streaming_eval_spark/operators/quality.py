@@ -249,3 +249,96 @@ def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 3).alias("shl"),
         F.shiftright(k, 2).alias("shr"),
     )
+
+
+@register(
+    "agg_histogram_bins",
+    "relational",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)
+                AS INTEGER) AS bin,
+           count(*) AS n_orders,
+           min(o_totalprice) AS bin_min,
+           max(o_totalprice) AS bin_max
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def agg_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins over [min, max]) of order totals —
+    the profiling primitive under every "distribution drifted?" check.
+    Two aggregates over one scan: global min/max (6 numbers, broadcast as
+    a 1-row dimension) then a bin-keyed count.  The bin formula is the
+    same double arithmetic on both engines (identical IEEE operation
+    order), so bin edges are bit-identical — the reason the formula is
+    spelled out instead of ``width_bucket`` (DuckDB lacks it, and pinning
+    one formula beats trusting two implementations' rounding).  At 100 TB:
+    a map-side-combinable count on a 20-value key — no skew, no state."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19))
+        .cast("int")
+        .alias("bin"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("bin_min"),
+        F.max("o_totalprice").alias("bin_max"),
+    )
+
+
+@register(
+    "obs_pipeline_metrics",
+    "etl",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+           {dsum_sql('o_totalprice')} AS total_price,
+           min(epoch_ms(o_orderdate)) AS first_order_ms
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piggybacked pipeline metrics via the Observation API: the metrics
+    (row count, conditional count, exact decimal sum, min) are computed BY
+    THE SAME JOB that executes the query — Spark attaches an accumulator-
+    backed observer to the plan, so auditing costs zero extra scans, the
+    engine answer to the reference's per-batch metric rows (which launched
+    up to 4 extra jobs per batch, spark_stream_metrics.py:56-62).  The
+    observed values are then lifted into a 1-row DataFrame and must match
+    the oracle's standalone aggregation exactly — proving piggybacked
+    metrics equal dedicated-scan metrics."""
+    from pyspark.sql import Observation
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        # observe() metrics must aggregate resolved attributes: project the
+        # epoch-ms column first, then aggregate it
+        .withColumn(
+            "order_ms", F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+        )
+    )
+    obs = Observation("pipeline_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        dsum("o_totalprice").alias("total_price"),
+        F.min("order_ms").alias("first_order_ms"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_large"], m["total_price"], m["first_order_ms"])],
+        "n_rows bigint, n_large bigint, total_price double, first_order_ms bigint",
+    )

@@ -2123,3 +2123,39 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("mode(l_quantity, true)").alias("mode_qty"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    "relational",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_suppliers,
+           string_agg(s.s_name, '|' ORDER BY s.s_name) AS roster,
+           list(s.s_name ORDER BY s.s_name) AS roster_arr
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: ``listagg … WITHIN GROUP (ORDER BY …)``
+    (new in Spark 4) plus the array twin ``array_sort(collect_list(…))``.
+    Concatenation order is the whole game — an unordered collect is
+    nondeterministic under partitioning, so reproducible pipelines must
+    pin it; WITHIN GROUP is the engine-level pin.  Output size grows with
+    group size, so at 100 TB this is a per-bounded-group operator
+    (rosters, top-k lists), never a fact-table-wide one — same posture as
+    ``collect_set`` anywhere in this engine."""
+    spark = prep(spark)
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("la_supplier")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("la_nation")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_suppliers,
+               listagg(s.s_name, '|') WITHIN GROUP (ORDER BY s.s_name) AS roster,
+               array_sort(collect_list(s.s_name)) AS roster_arr
+        FROM la_supplier s JOIN la_nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
