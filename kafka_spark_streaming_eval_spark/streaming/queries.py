@@ -457,3 +457,108 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("gap_ms"),
     )
+
+
+@register(
+    "stream_python_datasource_source",
+    "streaming",
+    oracle=f"""
+    WITH src AS (
+      SELECT i % 10000 AS user_id,
+             ['click', 'view', 'purchase', 'login'][(i % 4) + 1] AS event_type,
+             CAST(i % 1000 AS DOUBLE) / 10.0 AS value
+      FROM generate_series(0, 49999) t(i)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM src
+    GROUP BY event_type
+    """,
+)
+def stream_python_datasource_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API, STREAMING side: the same synthetic
+    event generator as ``src_python_datasource_events`` exposed through
+    ``SimpleDataSourceStreamReader`` — offsets are row indices, each
+    trigger admits one 10k-row slice, and the engine's offset log gives
+    exactly-once replay (``read`` is re-run deterministically from the
+    committed offset on recovery, which only works because the generator
+    is a pure function of the index — the reference producer's property,
+    producer.py:38-45).  A bounded total makes the stream drain: once the
+    offset reaches the end, read() returns an empty slice and the same
+    offset, and processAllAvailable unblocks.  The aggregated result must
+    equal the batch oracle over generate_series — custom-source streaming
+    and plain SQL agree exactly."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    TOTAL, STEP = 50_000, 10_000
+
+    class SynthStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            lo = start["i"]
+            hi = min(lo + STEP, TOTAL)
+            types = ["click", "view", "purchase", "login"]
+            rows = iter(
+                [
+                    (i % 10000, types[i % 4], (i % 1000) / 10.0)
+                    for i in range(lo, hi)
+                ]
+            )
+            return rows, {"i": hi}
+
+        def readBetweenOffsets(self, start, end):
+            types = ["click", "view", "purchase", "login"]
+            return iter(
+                [
+                    (i % 10000, types[i % 4], (i % 1000) / 10.0)
+                    for i in range(start["i"], end["i"])
+                ]
+            )
+
+    class SynthEventsStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "syntheventsstream"
+
+        def schema(self):
+            return "user_id long, event_type string, value double"
+
+        def simpleStreamReader(self, schema):
+            return SynthStreamReader()
+
+    spark = prep(spark)
+    spark.dataSource.register(SynthEventsStream)
+    stream = spark.readStream.format("syntheventsstream").load()
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    # processAllAvailable can return between slices (the simple reader's
+    # prefetcher advances the latest offset asynchronously): drain by
+    # polling the aggregate until every generated row is accounted for
+    import time
+
+    name = f"stream_result_{next(_name_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            got = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
+            if got == TOTAL:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("stream did not drain to TOTAL rows")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
