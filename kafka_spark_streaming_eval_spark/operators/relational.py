@@ -2159,3 +2159,84 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+_RECURSIVE_CLOSURE_SQL = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE (c.c_nationkey * 31 + s.s_nationkey * 17) % 7 < 2
+        AND c.c_nationkey <> s.s_nationkey
+    ),
+    walk(src, node, depth) AS (
+      SELECT e.src, e.src, 0 FROM (SELECT DISTINCT src FROM edges) e
+      UNION ALL
+      SELECT w.src, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < 3
+    )
+    SELECT src, count(DISTINCT node) AS n_reachable
+    FROM walk GROUP BY src
+"""
+
+
+@register("sql_recursive_cte_closure", "relational", oracle=_RECURSIVE_CLOSURE_SQL)
+def sql_recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-level recursion (Spark 4 ``WITH RECURSIVE``): 3-hop
+    reachability closure over the sparsified trade graph, counting
+    distinct reachable nations per source.  The SAME SQL text runs on
+    both engines — the strongest possible parity statement for the SQL
+    surface.  This is the declarative counterpart of the driver-loop
+    iteration in ``graph_bfs_shortest_path``: there the loop lives in
+    Python and each round is a plan; here the engine owns the fixpoint
+    (bounded UNION ALL recursion — Spark does not yet support UNION-
+    distinct recursion, so the dedup is the outer DISTINCT, and the depth
+    bound caps path fan-out the way the CTE's dist cap does in the BFS
+    oracle)."""
+    from kafka_spark_streaming_eval_spark.catalog import register_views
+
+    spark = prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
+@register(
+    "sql_pipe_syntax_params",
+    "relational",
+    oracle="""
+    SELECT year(o_orderdate) AS yr, o_orderstatus,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY yr, o_orderstatus
+    """,
+)
+def sql_pipe_syntax_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators) + named parameter
+    binding (``spark.sql(..., args=...)``): the exp1-style summary written
+    as a linear pipeline — FROM |> WHERE |> EXTEND |> AGGREGATE — with the
+    price threshold supplied as a bind parameter instead of a spliced
+    literal (the injection-safe form every metadata-driven 100 TB pipeline
+    should use).  Pipe stages compile to exactly the same logical plan as
+    the nested-SELECT formulation the oracle uses — syntax, not
+    semantics."""
+    from kafka_spark_streaming_eval_spark.catalog import register_views
+
+    spark = prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > :threshold
+        |> EXTEND year(o_orderdate) AS yr
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total
+           GROUP BY yr, o_orderstatus
+        """,
+        args={"threshold": 150000.0},
+    )
