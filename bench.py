@@ -63,6 +63,9 @@ HEADLINE = [
     "graph_pagerank_trade",
     "timeseries_pattern_match",
     "text_tfidf_topterms",
+    "timeseries_resample_ohlc",
+    "window_streak_islands",
+    "etl_quality_audit",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

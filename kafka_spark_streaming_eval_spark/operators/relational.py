@@ -2240,3 +2240,41 @@ def sql_pipe_syntax_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": 150000.0},
     )
+
+
+@register(
+    "agg_grouping_id_levels",
+    "relational",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_id_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set level identification: ``grouping()`` flags distinguish
+    a real NULL-keyed group from a super-aggregate row — the only correct
+    way to consume rollup output (the COALESCE relabel is safe here
+    because the flags, not the NULLs, carry level identity).  The gid
+    arithmetic mirrors ``grouping_id`` bit packing and is identical
+    cross-engine.  One Expand + one shuffle, same plan family as
+    ``agg_grouping_sets``."""
+    spark = prep(spark)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("gid_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               count(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        FROM gid_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
