@@ -2278,3 +2278,49 @@ def agg_grouping_id_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "scalar_interval_battery",
+    "relational",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d')
+             AS next_month,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d')
+             AS plus_90d,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS weekday_mon0,
+           make_date(CAST(year(o_orderdate) AS INTEGER),
+                     CAST(month(o_orderdate) AS INTEGER), 1)
+             = date_trunc('month', CAST(o_orderdate AS DATE)) AS month_floor_eq,
+           strftime(CAST(o_orderdate AS DATE)
+                    + to_days(CAST(o_orderkey % 30 AS INTEGER)), '%Y-%m-%d')
+             AS dynamic_shift
+    FROM orders
+    """,
+)
+def scalar_interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval battery: month addition with end-of-month clamping
+    (Jan 31 + 1 month = Feb 29 on both engines — the clamping convention
+    is pinned, not assumed), fixed and data-driven day shifts, Monday-
+    based weekday (Spark ``weekday`` ↔ DuckDB ``isodow - 1``; the Sunday-
+    based forms differ by engine, so the battery standardizes on ISO), and
+    a ``make_date``/``date_trunc`` identity.  Dates travel as formatted
+    strings — interval results are date-typed on one engine and
+    timestamp-typed on the other, exactly the cross-engine trap the
+    formatting removes."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("next_month"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("plus_90d"),
+        F.weekday(d).alias("weekday_mon0"),
+        (
+            F.make_date(F.year(d), F.month(d), F.lit(1))
+            == F.date_trunc("month", d).cast("date")
+        ).alias("month_floor_eq"),
+        F.date_format(
+            F.date_add(d, (F.col("o_orderkey") % 30).cast("int")), "yyyy-MM-dd"
+        ).alias("dynamic_shift"),
+    )

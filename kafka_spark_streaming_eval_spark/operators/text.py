@@ -335,3 +335,57 @@ def text_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") < 8)
         .select("doc_id", "pos", "token", F.length("token").alias("tok_len"))
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    "text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS token,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS pair
+      FROM toks
+    )
+    SELECT pair, count(*) AS n_pairs, count(DISTINCT doc_id) AS n_docs
+    FROM bigrams
+    WHERE pair IS NOT NULL
+    GROUP BY pair
+    HAVING count(*) >= 5
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — the inner loop of BPE/WordPiece
+    tokenizer training: tokenize, form (token, next-token) bigrams with an
+    ordinal window, count corpus-wide, keep pairs above a merge threshold.
+    Plan: zero-shuffle generate → one window shuffle on doc_id (state
+    bounded per document) → one count shuffle on the pair key.  At corpus
+    scale the pair distribution is Zipfian — the count agg is map-side
+    combinable so the hot pairs collapse before the shuffle, and a real
+    BPE trainer iterates this query with a merged vocabulary each round
+    (the loop shape of ``graph_pagerank_trade``)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", "token", F.lead("token").over(w)).alias("pair"),
+        F.lead("token").over(w).alias("_nxt"),
+    ).where(F.col("_nxt").isNotNull())
+    return (
+        bigrams.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_pairs") >= 5)
+    )
