@@ -295,3 +295,51 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev("p_name").alias("name_rev"),
         F.length("p_name").alias("name_len"),
     )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    "udf-surface",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_nationkey,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                 FILTER (WHERE rn <= 3) AS DOUBLE), 2) AS top3_sum,
+           count(*) AS n_customers
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (``Series -> scalar``) — the fourth
+    pandas-UDF shape next to scalar, applyInPandas and cogrouped: Spark
+    groups rows, ships each group's column as ONE Arrow batch, and the
+    Python kernel reduces it to a scalar (here: sum of the top-3 account
+    balances, summed largest-first after an exact sort).  The kernel
+    rounds to 2 dp so the 3-term double sum is stable against the oracle's
+    decimal formulation regardless of addition order.  Plan: one shuffle
+    on the group key, kernel cost O(group); the slow-path warning from
+    SURVEY §2.b applies — this exists to pin the API, the built-in
+    formulation is the ranked-window the oracle uses."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def top3_sum(v: pd.Series) -> float:
+        return round(float(v.sort_values(ascending=False).head(3).sum()), 2)
+
+    # pandas grouped aggregates cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas UDF too
+    @pandas_udf("long")
+    def group_count(v: pd.Series) -> int:
+        return int(len(v))
+
+    c = table(prep(spark), sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        top3_sum("c_acctbal").alias("top3_sum"),
+        group_count("c_custkey").alias("n_customers"),
+    )

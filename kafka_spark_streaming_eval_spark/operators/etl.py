@@ -209,3 +209,51 @@ def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity").alias("total_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "etl_partition_overwrite_dynamic",
+    "etl",
+    oracle="""
+    WITH patched AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM patched
+    GROUP BY o_orderstatus
+    """,
+)
+def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the daily-reprocess primitive: a
+    status-partitioned orders table gets ONE partition ('F') rewritten
+    (prices uplifted 10%) with ``partitionOverwriteMode=dynamic``, which
+    replaces exactly the partitions present in the incoming write and
+    leaves the rest untouched on disk.  The readback aggregate must show
+    patched 'F' rows and pristine 'O'/'P' rows — proving the overwrite
+    touched only its partition (static mode would have truncated the whole
+    table).  At 100 TB this is how backfills work: rewrite day=2026-08-12,
+    never scan or move the other ~3650 partitions."""
+    base = "/tmp/orders_dynpart_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    patched = (
+        o.where(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patched.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(base)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -111,3 +111,39 @@ def test_lateral_topk_decorrelates_to_window(spark):
     df = SPECS["join_lateral_topk"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime row-level filtering: with a selective filter on the creation
+    side of a shuffle join, Catalyst injects a bloom-filter semi-join
+    reduction into the fact-side scan (might_contain on the join key) —
+    at 100 TB this prunes shuffle input before the exchange.  Thresholds
+    are lowered because test data is tiny; production defaults engage at
+    10MB creation / 10GB application sizes."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_eval_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, SF_DIR, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
