@@ -341,7 +341,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, p.pos
     )
     SELECT doc_id,
-           sum(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS simhash32
+           CAST(sum(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END)
+                AS BIGINT) AS simhash32
     FROM bits GROUP BY doc_id
     """,
 )
@@ -350,7 +351,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     +-1; the fingerprint takes the majority per position.  Near-duplicate
     docs land within a small Hamming distance — at scale, bucket on 8-bit
     chunks of the fingerprint for candidate generation (same banding idea
-    as LSH)."""
+    as LSH).
+
+    Oracle note (round-1 hash mismatch, fixed): DuckDB ``sum(BIGINT)``
+    returns HUGEINT, which pandas fetches as float64 while Spark's sum is
+    int64 — values were equal but the driver's value-hash distinguishes
+    ``123`` from ``123.0``.  The oracle now casts the sum back to BIGINT so
+    both engines emit int64."""
     d = _docs(spark, sf_dir)
     words = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))

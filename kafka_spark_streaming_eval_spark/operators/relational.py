@@ -673,9 +673,9 @@ def scalar_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(log10(o_totalprice), 6) AS log10_price,
            round(sqrt(o_totalprice), 6) AS sqrt_price,
            round(pow(o_totalprice / 100000.0, 2.0), 6) AS pow2,
-           ceil(o_totalprice) AS price_ceil,
-           floor(o_totalprice) AS price_floor,
-           sign(o_totalprice - 150000.0) AS above_150k,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS above_150k,
            CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
     FROM orders
     """,
