@@ -28,22 +28,40 @@ TABLES = (
 )
 
 
+def events_ts_ms(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a ms-truncated TIMESTAMP (UTC instant).
+
+    The testdata generator has stored ``ts`` two ways across rounds:
+    TIMESTAMP(NANOS), which Spark cannot represent and reads as a
+    nanosecond long under ``legacy.parquet.nanosAsLong``, and plain
+    timestamp[us], which scans as TIMESTAMP_NTZ.  Both normalize to the
+    same ms-truncated TIMESTAMP column, so every downstream query and its
+    DuckDB oracle (``date_trunc('milliseconds', ts)``) agree bit-for-bit
+    whichever file vintage is on disk.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):  # nanos-as-long vintage
+        ts_ms = F.timestamp_millis(F.expr("ts div 1000000"))
+    else:  # timestamp[us] vintage -> TIMESTAMP_NTZ scan (session tz is UTC)
+        ts_ms = F.timestamp_millis(F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
+    return df.withColumn("ts", ts_ms)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark cannot
-    represent (micro precision max); it is read as a nanosecond long and
-    truncated to millisecond precision.  Oracle SQL mirrors this with
-    ``date_trunc('milliseconds', ts)`` so both engines compare equal bits.
+    ``events.ts`` is truncated to millisecond precision; oracle SQL mirrors
+    this with ``date_trunc('milliseconds', ts)`` so both engines compare
+    equal bits (see ``events_ts_ms``).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+        return events_ts_ms(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -27,6 +27,13 @@ from kafka_spark_streaming_eval_spark.session import prep
 
 N_HASHES = 12  # minhash signature length
 BAND_SIZE = 3  # rows per LSH band -> 4 bands
+# Per-bucket membership cap: pair fan-out is quadratic in bucket size, so a
+# degenerate bucket (e.g. an all-identical corpus hashing to one band value)
+# would emit O(n^2) pairs.  Capping to the first LSH_BUCKET_CAP sorted doc
+# ids bounds any bucket at C(cap,2) pairs; near-dup recall is unaffected in
+# practice because true near-dup clusters this large collapse through the
+# capped members' connected component anyway.
+LSH_BUCKET_CAP = 64
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,8 +188,14 @@ _LSH_PAIRS_SQL = f"""
              END AS band_hash
       FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
     )
+    , capped AS (
+      SELECT band_id, band_hash,
+             unnest(list_slice(list_sort(list(doc_id)), 1, {LSH_BUCKET_CAP}))
+               AS doc_id
+      FROM bands GROUP BY band_id, band_hash
+    )
     SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-    FROM bands a JOIN bands c
+    FROM capped a JOIN capped c
       ON a.band_id = c.band_id AND a.band_hash = c.band_hash
      AND a.doc_id < c.doc_id
 """
@@ -197,9 +210,10 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     100 TB that's two full corpus scans instead of one.  Here signatures are
     computed once, shuffled once on (band_id, band_hash), and each bucket
     emits its own pairs via higher-order functions.  Bucket fan-out is
-    quadratic in bucket size — the standard LSH caveat; a degenerate
-    all-identical corpus needs a bucket-size cap or a secondary hash, which
-    is a policy choice left to the caller."""
+    quadratic in bucket size — the standard LSH caveat — so membership is
+    capped at the first ``LSH_BUCKET_CAP`` sorted doc ids per bucket,
+    bounding any degenerate bucket (all-identical corpus) at C(cap,2)
+    pairs; the oracle applies the identical cap."""
     sig = minhash_signatures(docs)
     # One band row per (doc, band) via a single explode — a 4-way union of
     # selects over `sig` would recompute the signature aggregation per branch.
@@ -217,8 +231,15 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     allb = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
         "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
     )
+    # Cap BEFORE collecting: row_number over the bucket key keeps every
+    # bucket's array <= cap elements, so a degenerate bucket can never
+    # materialize a giant collect_list array in one task.  The window
+    # partitions on the same key as the groupBy, so both run on ONE shuffle.
+    bucket_w = W.partitionBy("band_id", "band_hash").orderBy("doc_id")
     buckets = (
-        allb.groupBy("band_id", "band_hash")
+        allb.withColumn("rn", F.row_number().over(bucket_w))
+        .where(F.col("rn") <= LSH_BUCKET_CAP)
+        .groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
@@ -446,12 +467,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_neardup",
     "dedup",
     oracle="""
-    WITH v AS (
+    WITH aug AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, label,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN i = 1
+                         THEN CAST(CAST(embedding[1] AS DOUBLE) * 1.01 AS REAL)
+                         ELSE embedding[i] END)
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    v AS (
       SELECT vec_id, label, embedding,
              sqrt(list_reduce(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                   (a, b) -> a + b)) AS nrm
-      FROM embeddings
+      FROM aug
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -464,9 +495,28 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicates: same-label candidate pairs with cosine >
     0.99.  The label equi-join is the IVF-style bucket constraint (at 100 TB
     the label comes from a coarse quantizer); dot products are higher-order
-    ``zip_with``+``aggregate`` folds — JVM-side, no UDF."""
+    ``zip_with``+``aggregate`` folds — JVM-side, no UDF.
+
+    The synthetic corpus has no organic >0.99 pair (max same-label cosine
+    ~0.47), which made a 0-rows-vs-0-rows "pass" vacuous; the query unions
+    in a deterministic perturbed copy of every 100th vector (first
+    coordinate * 1.01, cosine ~0.9999 to its source) so the positive
+    detection path is exercised and hash-checked — the oracle applies the
+    identical augmentation (both perturb in float64 and round back to
+    float32, so the bits agree)."""
     prep(spark)
-    e = table(spark, sf_dir, "embeddings")
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    perturbed = base.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 10000000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == 0, (x.cast("double") * 1.01).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    e = base.unionByName(perturbed)
     nrm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),

@@ -29,7 +29,7 @@ from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.session import prep, scratch_dir
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -196,8 +196,8 @@ def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass: coalesce plans one task per output file reading whole input
     files, no shuffle, no sort, so it scales with output size."""
     li = _t(spark, sf_dir, "lineitem")
-    frag = "/tmp/li_frag_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    compact = "/tmp/li_compact_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    frag = scratch_dir("li_frag", sf_dir)
+    compact = scratch_dir("li_compact", sf_dir)
     shutil.rmtree(frag, ignore_errors=True)
     shutil.rmtree(compact, ignore_errors=True)
     li.repartition(48).write.mode("overwrite").parquet(frag)
@@ -237,7 +237,7 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
     touched only its partition (static mode would have truncated the whole
     table).  At 100 TB this is how backfills work: rewrite day=2026-08-12,
     never scan or move the other ~3650 partitions."""
-    base = "/tmp/orders_dynpart_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("orders_dynpart", sf_dir)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -247,11 +247,13 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         o.where(F.col("o_orderstatus") == "F")
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
     try:
         patched.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set(mode_key, prev_mode)
     back = spark.read.parquet(base)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),

@@ -292,16 +292,36 @@ def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", "relational", oracle=None)
+@register(
+    "agg_approx_distinct",
+    "relational",
+    oracle=f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           count(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM {_EV} GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (the 100 TB path — constant memory per
-    group vs a full distinct shuffle).  rsd=0.01; rows-only check because
-    HLL sketches are implementation-specific (tests assert <5% error vs
-    exact)."""
+    group vs a full distinct shuffle), rsd=0.01.
+
+    The sketch estimate itself is implementation-specific, so the
+    hash-checkable contract is its accuracy: the Spark side computes both
+    the HLL estimate and the exact distinct in one aggregation and emits
+    ``approx_within_5pct``; the oracle asserts that flag is TRUE for every
+    group (plus the exact counts), making sketch accuracy part of the
+    driver's value hash instead of a rows-only check."""
     ev = table(prep(spark), sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        exact.alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_events"),
+        (F.abs(approx.cast("double") - exact.cast("double")) <= 0.05 * exact.cast("double")).alias(
+            "approx_within_5pct"
+        ),
     )
 
 
@@ -1041,8 +1061,10 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_ms(max(ts)) - epoch_ms(min(ts)) AS dur
       FROM y GROUP BY user_id, sess
     )
-    SELECT user_id, count(*) AS n_sessions, sum(n) AS total_events,
-           max(n) AS max_session_events, sum(dur) AS total_session_ms
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           max(n) AS max_session_events,
+           CAST(sum(dur) AS BIGINT) AS total_session_ms
     FROM s GROUP BY user_id
     """,
 )
@@ -1776,7 +1798,7 @@ def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN nullif(c_acctbal, 0.0) IS NOT NULL
                 THEN 'has_bal' ELSE 'zero_bal' END AS nvl2_bal,
            (nullif(c_acctbal, 0.0) IS NULL) AS is_zero,
-           (c_acctbal / (c_acctbal - c_acctbal)) IS NOT DISTINCT FROM NULL
+           (c_acctbal / nullif(c_acctbal - c_acctbal, 0.0)) IS NOT DISTINCT FROM NULL
              AS zero_div_is_null,
            coalesce(nullif(c_nationkey, 0), -1) AS nation_or_neg
     FROM customer
@@ -1802,8 +1824,10 @@ def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.nvl2(bal_nz, F.lit("has_bal"), F.lit("zero_bal")).alias("nvl2_bal"),
         bal_nz.isNull().alias("is_zero"),
-        # ANSI Spark raises on /0; try_divide yields NULL = DuckDB's x/0.
-        # Null-safe equality (eqNullSafe == IS NOT DISTINCT FROM) pins it.
+        # ANSI Spark raises on /0; try_divide yields NULL.  The oracle divides
+        # by nullif(denom, 0.0) so it is NULL on every DuckDB version (plain
+        # x/0.0 flipped to inf when ieee_floating_point_ops became the 1.1
+        # default).  eqNullSafe == IS NOT DISTINCT FROM pins the comparison.
         F.try_divide(F.col("c_acctbal"), F.col("c_acctbal") - F.col("c_acctbal"))
         .eqNullSafe(F.lit(None).cast("double"))
         .alias("zero_div_is_null"),

@@ -22,6 +22,10 @@ Determinism contract (so Spark and DuckDB hash-match bit-for-bit):
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -59,10 +63,56 @@ def register(name: str, category: str, oracle: str | None = None):
     return deco
 
 
+def _last_green_round() -> dict[str, int]:
+    """Per query, the latest round whose CORRECTNESS report verified it green.
+
+    The per-round driver budget covers a prefix of the ``queries()`` dict, so
+    ordering is coverage policy: queries that have never earned a green
+    CORRECTNESS row (hash_match=true, or a clean rows-only check for
+    oracle-less entries) must run before queries already verified, and among
+    the verified ones the stalest verification re-runs first.  This reads the
+    committed ``CORRECTNESS_r*.json`` reports so the rotation advances by
+    itself every round.
+    """
+    roots = {os.getcwd()}
+    here = os.path.abspath(__file__)
+    roots.add(os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(here)))))
+    last_green: dict[str, int] = {}
+    for root in roots:
+        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if not m:
+                continue
+            rnd = int(m.group(1))
+            try:
+                with open(path) as f:
+                    report = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(report, dict):
+                continue
+            for name, row in report.items():
+                if not isinstance(row, dict):
+                    continue
+                green = row.get("hash_match") is True or (
+                    row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                )
+                if green:
+                    last_green[name] = max(last_green.get(name, 0), rnd)
+    return last_green
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Name -> spec for every registered query (imports operator modules)."""
+    """Name -> spec for every registered query (imports operator modules).
+
+    Ordered for driver verification rotation: never-green queries first (in
+    registration order), then green queries stalest-verification-first.
+    """
     _load_all()
-    return dict(_REGISTRY)
+    last_green = _last_green_round()
+    reg_index = {name: i for i, name in enumerate(_REGISTRY)}
+    ordered = sorted(_REGISTRY, key=lambda n: (last_green.get(n, -1), reg_index[n]))
+    return {name: _REGISTRY[name] for name in ordered}
 
 
 def _load_all() -> None:

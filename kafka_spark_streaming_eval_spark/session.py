@@ -42,6 +42,19 @@ def get_spark(
     return spark
 
 
+def scratch_dir(tag: str, *keys: str) -> str:
+    """Deterministic per-process scratch path under /tmp.
+
+    Keyed on the caller's tag + content keys + this PID: re-runs inside one
+    process hit (and clean) the same path, while concurrent processes over
+    the same dataset never collide on staged writes.
+    """
+    import hashlib
+
+    digest = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
+    return f"/tmp/sgraft_{os.getpid()}_{tag}_{digest}"
+
+
 def prep(spark: SparkSession) -> SparkSession:
     """Normalize a session we did not create (e.g. the driver's).
 

@@ -14,6 +14,7 @@ the same plan.
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,29 +26,38 @@ from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 
 _DSUM_REV = dsum_sql("l_extendedprice * (1 - l_discount)")
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.session import prep, scratch_dir
 
 
 def write_run_csvs(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the reference's metrics-directory layout from ``events``:
     one ``run_<event_type>/`` directory of header CSVs with per-day counts
-    (the S3 CSV-append sink shape, spark_stream_metrics.py:71-74)."""
-    base = "/tmp/metrics_runs_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    (the S3 CSV-append sink shape, spark_stream_metrics.py:71-74).
+
+    One ``partitionBy(event_type)`` write job fans out every run directory
+    — no driver-side distinct/collect loop, so a million run keys cost one
+    job, not a million.  The hive-style ``event_type=x`` dirs are renamed
+    to the reference's ``run_x`` layout afterwards (driver-side metadata
+    only, one rename per partition)."""
+    base = scratch_dir("metrics_runs", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     ev = table(prep(spark), sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
     ).agg(F.count(F.lit(1)).alias("n"))
-    for row in daily.select("event_type").distinct().collect():
-        et = row.event_type
-        (
-            daily.where(F.col("event_type") == et)
-            .select("day_ms", "n")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .option("header", "true")
-            .csv(f"{base}/run_{et}")
-        )
+    (
+        daily.repartition(1)  # tiny metrics table: one file per run dir (O5 coalesce(1) shape)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .partitionBy("event_type")
+        .csv(base)
+    )
+    for entry in os.listdir(base):
+        if entry.startswith("event_type="):
+            os.rename(
+                os.path.join(base, entry),
+                os.path.join(base, "run_" + entry.split("=", 1)[1]),
+            )
     return base
 
 
@@ -106,7 +116,7 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing, zero data read for other partitions), not a post-scan Filter —
     asserted in tests.  The oracle recomputes from the raw table, proving
     the partitioned round-trip is lossless."""
-    base = "/tmp/events_by_type_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("events_by_type", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     ev = table(prep(spark), sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
@@ -124,7 +134,9 @@ def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     join key as external tables; returns the two table names.  Idempotent
     per sf_dir."""
     prep(spark)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # PID in the tag: catalog entries are per-session, but the backing /tmp
+    # paths must not collide across concurrent processes on one host.
+    tag = f"{os.getpid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
     for name, tbl, key in zip(names, ("orders", "lineitem"), ("o_orderkey", "l_orderkey")):
         if spark.catalog.tableExists(name):
@@ -217,7 +229,7 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Per-file footer merging is driver-side cost at listing time; at scale
     you pin the merged schema explicitly instead of inferring per query —
     here mergeSchema demonstrates the inference path.)"""
-    base = "/tmp/events_schema_evo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("events_schema_evo", sf_dir)
     ev = table(prep(spark), sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -346,7 +358,7 @@ def range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning ~3/30 days and scanning everything, WITHOUT Hive partition
     directories (range files compose with any partition scheme and avoid
     the small-files explosion of fine-grained partitioning)."""
-    base = "/tmp/events_range_sorted_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("events_range_sorted", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
     shutil.rmtree(base, ignore_errors=True)
     (
@@ -389,7 +401,7 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lake's OPTIMIZE ZORDER BY.  The z-value is layout-only: it never
     appears in query results, so the oracle is the plain two-predicate
     aggregate."""
-    base = "/tmp/events_zorder_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("events_zorder", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
     u = F.col("user_id") % 1024  # 10 bits
     d = F.dayofmonth("ts").cast("long")  # 5 bits
@@ -441,7 +453,7 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-tenant 100 TB lake needs.  The oracle reads the original parquet:
     matching results prove the roundtrip is lossless (types, timestamps,
     doubles) across formats."""
-    base = "/tmp/lineitem_orc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("lineitem_orc", sf_dir)
     li = table(prep(spark), sf_dir, "lineitem")
     shutil.rmtree(base, ignore_errors=True)
     li.write.mode("overwrite").orc(base)
@@ -476,7 +488,7 @@ def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive because Jackson emits shortest-roundtrip literals.  At 100 TB
     JSON is the ingest edge, not the storage format — this query is the
     bridge that proves JSON-in equals parquet-in."""
-    base = "/tmp/events_json_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = scratch_dir("events_json", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
     shutil.rmtree(base, ignore_errors=True)
     (

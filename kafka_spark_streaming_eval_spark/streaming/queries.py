@@ -21,7 +21,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.catalog import events_ts_ms, table
 from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
@@ -31,17 +31,28 @@ from kafka_spark_streaming_eval_spark.streaming.generator import synth_events_ba
 _name_counter = itertools.count()
 
 
+def _src_fingerprint(path: str) -> str:
+    """mtime+size content key: a regenerated testdata file at the same path
+    gets a fresh staging dir, so cached sentinels/symlinks can't go stale."""
+    import os
+
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}_{st.st_size}"
+
+
 def _stream_dir(sf_dir: str, name: str) -> str:
     """The parquet file-stream source needs a *directory*; stage one with a
     symlink to the (read-only) testdata file."""
-    import hashlib
     import os
 
-    d = f"/tmp/spark_stream_src_{hashlib.md5(f'{sf_dir}/{name}'.encode()).hexdigest()[:12]}"
+    from kafka_spark_streaming_eval_spark.session import scratch_dir
+
+    src = f"{sf_dir}/{name}.parquet"
+    d = scratch_dir("stream_src", sf_dir, name, _src_fingerprint(src))
     os.makedirs(d, exist_ok=True)
     link = f"{d}/{name}.parquet"
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/{name}.parquet", link)
+        os.symlink(src, link)
     return d
 
 
@@ -54,7 +65,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_millis(F.expr("ts div 1000000")))
+    return events_ts_ms(raw)
 
 
 def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -331,18 +342,21 @@ def _left_outer_staged_dir(spark: SparkSession, sf_dir: str) -> str:
     subsequent batches run eviction under it (empirically the flush lands
     two batches behind the last data batch).  (``maxFilesPerTrigger=1``
     turns each file into its own micro-batch.)"""
-    import hashlib
     import os
     import time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = "/tmp/spark_stream_loj_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from kafka_spark_streaming_eval_spark.session import scratch_dir
+
+    src = f"{sf_dir}/events.parquet"
+    # PID + content fingerprint: no cross-process races on the _READY
+    # sentinel, and regenerated testdata invalidates the cached staging.
+    d = scratch_dir("stream_loj", sf_dir, _src_fingerprint(src))
     if os.path.exists(os.path.join(d, "_READY")):
         return d
     os.makedirs(d, exist_ok=True)
-    src = f"{sf_dir}/events.parquet"
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
@@ -421,9 +435,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", 1)
             .parquet(staged)
         )
-        return raw.withColumn(
-            "ts", F.timestamp_millis(F.expr("ts div 1000000"))
-        ).withWatermark("ts", "1 hour")
+        return events_ts_ms(raw).withWatermark("ts", "1 hour")
 
     clicks = (
         side()

@@ -69,6 +69,18 @@ def canonical_rows(df_pandas):
     return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+def _dtype_kinds(df_pandas):
+    """Column -> coarse dtype kind ('i' int/uint, 'f' float, 'b' bool, ...).
+
+    The driver's value-hash is dtype-sensitive (round 1: DuckDB HUGEINT ->
+    float64 vs Spark int64 hashed differently even with equal values), so the
+    local gate must also reject cross-engine kind drift, which the value
+    normalization in ``_norm_cell`` would otherwise erase.
+    """
+    kind_map = {"u": "i", "m": "M"}
+    return {c: kind_map.get(df_pandas[c].dtype.kind, df_pandas[c].dtype.kind) for c in df_pandas.columns}
+
+
 def assert_matches_oracle(spark_df, ducks, oracle_sql: str, name: str = "?"):
     """Exact order-insensitive comparison (the driver hashes values, so any
     float drift is a failure — this is deliberately NOT tolerance-based)."""
@@ -77,6 +89,14 @@ def assert_matches_oracle(spark_df, ducks, oracle_sql: str, name: str = "?"):
     got_cols, got_rows = canonical_rows(got_pdf)
     exp_cols, exp_rows = canonical_rows(exp_pdf)
     assert got_cols == exp_cols, f"{name}: column mismatch {got_cols} vs {exp_cols}"
+    got_kinds, exp_kinds = _dtype_kinds(got_pdf), _dtype_kinds(exp_pdf)
+    kind_drift = {
+        c: (got_kinds[c], exp_kinds[c])
+        for c in got_cols
+        # object columns (strings, lists, all-NULL) carry no kind signal
+        if "O" not in (got_kinds[c], exp_kinds[c]) and got_kinds[c] != exp_kinds[c]
+    }
+    assert not kind_drift, f"{name}: dtype-kind drift spark-vs-oracle {kind_drift}"
     assert len(got_rows) == len(exp_rows), (
         f"{name}: row count {len(got_rows)} vs {len(exp_rows)}"
     )

@@ -93,16 +93,20 @@ def test_merge_upsert_single_fact_scan(spark):
 
 def test_compaction_reduces_files(spark):
     """etl_compaction_binpack: the compacted copy must have strictly fewer
-    files than the 48-way fragmented copy, and the audit agg runs over it."""
+    files than the fragmented copy, and the audit agg runs over it.
+
+    Not an exact-48 assert: Spark writes no part file for an empty
+    partition, so at a small test scale factor some of the 48 round-robin
+    partitions may be empty."""
     import glob
-    import hashlib
+
+    from kafka_spark_streaming_eval_spark.session import scratch_dir
 
     SPECS["etl_compaction_binpack"].fn(spark, SF_DIR).collect()
-    suffix = hashlib.md5(SF_DIR.encode()).hexdigest()[:12]
-    n_frag = len(glob.glob(f"/tmp/li_frag_{suffix}/part-*"))
-    n_comp = len(glob.glob(f"/tmp/li_compact_{suffix}/part-*"))
-    assert n_frag == 48, n_frag
+    n_frag = len(glob.glob(f"{scratch_dir('li_frag', SF_DIR)}/part-*"))
+    n_comp = len(glob.glob(f"{scratch_dir('li_compact', SF_DIR)}/part-*"))
     assert n_comp <= 4, n_comp
+    assert n_frag > n_comp, (n_frag, n_comp)
 
 
 def test_lateral_topk_decorrelates_to_window(spark):

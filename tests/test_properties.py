@@ -102,6 +102,24 @@ def test_exact_duplicates_always_pair(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_fanout(spark):
+    """An all-identical corpus collapses into single band buckets — the
+    worst-case quadratic fan-out.  The per-bucket membership cap must bound
+    the pair count at C(cap, 2) regardless of corpus size."""
+    from kafka_spark_streaming_eval_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        lsh_candidate_pairs,
+    )
+
+    n = 3 * LSH_BUCKET_CAP  # far past the cap
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    capped = LSH_BUCKET_CAP * (LSH_BUCKET_CAP - 1) // 2
+    assert lsh_candidate_pairs(df).count() == capped  # not C(n,2) = 18336
+
+
 def test_hll_estimate_within_5pct(spark):
     """The sharded-HLL merge must land near the exact distinct count —
     the rows-only driver check can't see accuracy, so assert it here."""

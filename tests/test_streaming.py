@@ -8,6 +8,8 @@ import os
 import shutil
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.streaming.generator import (
@@ -224,3 +226,51 @@ def test_tws_running_stats(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+KAFKA_BROKERS = os.environ.get("SPARK_GRAFT_KAFKA_BROKERS")
+
+
+@pytest.mark.skipif(
+    not KAFKA_BROKERS,
+    reason="live Kafka smoke: set SPARK_GRAFT_KAFKA_BROKERS=host:port "
+    "(requires the spark-sql-kafka connector on the classpath)",
+)
+def test_kafka_live_smoke(spark, tmp_path):
+    """End-to-end parity with the reference pipeline against a REAL broker
+    (spark_stream_metrics.py:33-40 consumer options, producer.py:38-47 wire
+    format): produce reference-format JSON events to a fresh topic, consume
+    via ``kafka_source`` at latest offsets, parse + run the fused metrics
+    stream, and assert per-batch summary rows arrive.  Skipped without a
+    broker — every other test drives the identical downstream plan through
+    file/rate sources."""
+    import uuid
+
+    from kafka_spark_streaming_eval_spark.streaming.generator import event_columns
+    from kafka_spark_streaming_eval_spark.streaming.metrics_job import kafka_source
+
+    topic = f"sgraft_smoke_{uuid.uuid4().hex[:8]}"
+    # Consumer first: startingOffsets=latest (reference semantics) sees only
+    # events produced after the stream starts.
+    events = parse_events(kafka_source(spark, KAFKA_BROKERS, topic))
+    query, sink = run_metrics_stream(
+        events, checkpoint=str(tmp_path / "ck"), trigger_sec=1
+    )
+    try:
+        wire = spark.range(500).select(
+            F.to_json(F.struct(*event_columns(F.col("id")))).alias("value")
+        )
+        (
+            wire.write.format("kafka")
+            .option("kafka.bootstrap.servers", KAFKA_BROKERS)
+            .option("topic", topic)
+            .save()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and not sink.rows:
+            time.sleep(1)
+    finally:
+        query.stop()
+        query.awaitTermination()
+    assert sink.rows, "no metric rows arrived from the live Kafka round-trip"
+    assert sum(r.batch_events for r in sink.rows) == 500
