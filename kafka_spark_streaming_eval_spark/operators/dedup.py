@@ -311,7 +311,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
-    for _ in range(30):
+    for it in range(30):
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -329,7 +329,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         labels = upd.select("node", "label")
-        if upd.where(F.col("label") != F.col("old_label")).count() == 0:
+        # Convergence check every 2nd round: the count scans the (already
+        # checkpointed) state, so halving its cadence halves the loop's
+        # auxiliary job count; propagation converges in O(diameter) ≈ 2-3
+        # rounds, so at most one extra propagation round is paid for it.
+        if it % 2 == 1 and upd.where(F.col("label") != F.col("old_label")).count() == 0:
             break
     # Component size per node == nodes sharing the label (a broadcastable agg).
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_reachable"))
@@ -455,6 +459,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "dedup_lsh_jaccard_verified",
+    "dedup",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM pairs p
+    JOIN sh a ON a.doc_id = p.doc_a
+    JOIN sh b ON b.doc_id = p.doc_b
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+    """,
+)
+def dedup_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MinHash dedup pipeline END-TO-END: LSH banding proposes
+    candidate pairs (probabilistic, capped buckets), then exact shingle-set
+    Jaccard verifies each candidate and keeps pairs >= 0.5 — the precision
+    filter that turns LSH hits into actionable duplicates
+    (`dedup_minhash_lsh_pairs` and `dedup_ngram_jaccard` exercise the
+    stages in isolation).
+
+    Scale shape: the exact-Jaccard join touches ONLY the candidate set
+    (O(pairs), tiny by construction thanks to banding + the bucket cap),
+    joined twice against the per-doc shingle sets — never all-pairs.  The
+    corpus is scanned twice total (once for signatures, once for shingle
+    sets); at 100 TB the shingle-set table is the thing to materialize
+    once and reuse across both."""
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs)
+    sh = shingle_rows(docs).groupBy("doc_id").agg(F.collect_set("sh").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("a.s"), F.col("b.s"))))
+    )
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -479,3 +479,132 @@ def sim_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "sim_ann_recall_audit",
+    "similarity",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 20000000,
+             list_transform(generate_series(1, len(embedding)),
+               i -> CASE WHEN i = 1
+                         THEN CAST(CAST(embedding[1] AS DOUBLE) * 1.01 AS REAL)
+                         ELSE embedding[i] END)
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    v AS (
+      SELECT vec_id, embedding, {_NORM_SQL} AS nrm, {_bucket_sql()} AS bucket
+      FROM aug
+    ),
+    exact AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) DESC, b.vec_id
+             ) AS rank
+      FROM v a JOIN v b ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+      QUALIFY rank <= 3
+    ),
+    ann AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) DESC, b.vec_id
+             ) AS rank
+      FROM v a JOIN v b
+        ON a.bucket = b.bucket AND a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+      QUALIFY rank <= 3
+    )
+    SELECT q.vec_id AS query_id,
+           q.vec_id + 20000000 AS canary_id,
+           (qb.bucket = cb.bucket) AS same_bucket,
+           EXISTS (SELECT 1 FROM exact e WHERE e.query_id = q.vec_id
+                   AND e.neighbor_id = q.vec_id + 20000000) AS in_exact_top3,
+           EXISTS (SELECT 1 FROM ann a WHERE a.query_id = q.vec_id
+                   AND a.neighbor_id = q.vec_id + 20000000) AS in_ann_top3
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < {N_QUERIES}) q
+    JOIN v qb ON qb.vec_id = q.vec_id
+    JOIN v cb ON cb.vec_id = q.vec_id + 20000000
+    """,
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-based retrieval audit of the ANN index ("measure, don't
+    guess"): plant a near-duplicate copy of every query vector (first
+    coordinate * 1.01, cosine ~0.9999 to its source), then verify each
+    search path actually retrieves it — `in_exact_top3` must be TRUE (the
+    brute-force baseline cannot miss), `in_ann_top3` is TRUE iff the
+    canary landed in the query's LSH bucket (`same_bucket`), measuring
+    the sign-bit stability of the index under perturbation.  Rank-based
+    recall@k against organic neighbors is vacuous on this corpus (the
+    synthetic vectors are quasi-random: max organic cosine ~0.47, so no
+    bucketed index can place organic top-3 — measured, not assumed);
+    planted canaries are the standard production technique for auditing
+    an index's retrievability floor.  Scale shape: both paths broadcast
+    the {N_QUERIES}-row query set; the audit join touches only
+    top-3-per-query rows."""
+    prep(spark)
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    canaries = base.where(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + 20000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                i == 0, (x.cast("double") * 1.01).cast("float")
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(canaries)
+    v = aug.select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm"),
+        lsh_bucket_col().alias("bucket"),
+    )
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact3 = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"), "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+    ann3 = (
+        v.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"), "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+    canary_hit = F.col("neighbor_id") == F.col("query_id") + 20000000
+    exact_hits = exact3.groupBy("query_id").agg(
+        F.max(canary_hit).alias("in_exact_top3")
+    )
+    ann_hits = ann3.groupBy("query_id").agg(F.max(canary_hit).alias("in_ann_top3"))
+    buckets = v.select("vec_id", "bucket")
+    qb = q.select("query_id", "q_bucket")
+    cb = buckets.where(F.col("vec_id") >= 20000000).select(
+        (F.col("vec_id") - 20000000).alias("query_id"), F.col("bucket").alias("c_bucket")
+    )
+    return (
+        qb.join(cb, "query_id")
+        .join(exact_hits, "query_id", "left")
+        .join(ann_hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.col("query_id") + 20000000).alias("canary_id"),
+            (F.col("q_bucket") == F.col("c_bucket")).alias("same_bucket"),
+            F.coalesce("in_exact_top3", F.lit(False)).alias("in_exact_top3"),
+            F.coalesce("in_ann_top3", F.lit(False)).alias("in_ann_top3"),
+        )
+    )
