@@ -52,10 +52,12 @@ HEADLINE = [
     "window_running_frame",
     "topk_parts_per_brand",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_jaccard_verified",
     "dedup_cluster_components",
     "dedup_simhash",
     "sim_cosine_topk_bruteforce",
     "sim_lsh_ann_topk",
+    "sim_ann_recall_audit",
     "text_word_freq",
     "text_quality_score",
     "stream_tumbling_counts",

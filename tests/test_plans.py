@@ -151,3 +151,42 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lsh_bucket_cap_map_side_prune(spark):
+    """The LSH bucket cap must compile to WindowGroupLimit with a Partial
+    (map-side) phase: each task prunes its buckets to the cap BEFORE the
+    shuffle, so a degenerate bucket never even shuffles more than
+    cap * n_tasks rows — and the window's band-key exchange is reused by
+    the collect_list aggregate (no extra exchange between them)."""
+    df = SPECS["dedup_minhash_lsh_pairs"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "row_number(), 64, Partial" in plan  # map-side prune at the cap
+    # signatures (doc_id) + bucket window/agg (band key) + pair distinct
+    assert plan.count("Exchange hashpartitioning") == 3, plan.count(
+        "Exchange hashpartitioning"
+    )
+
+
+def test_registry_rotation_unverified_first():
+    """queries() ordering is coverage policy: every query without a green
+    CORRECTNESS row from a past round must precede every verified one, so
+    a prefix-budgeted driver run always verifies new queries first."""
+    from kafka_spark_streaming_eval_spark.plans.registry import (
+        _last_green_round,
+        all_queries,
+    )
+
+    green = _last_green_round()
+    if not green:
+        import pytest
+
+        pytest.skip("no CORRECTNESS_r*.json reports present")
+    order = list(all_queries())
+    positions = {n: i for i, n in enumerate(order)}
+    last_unverified = max(
+        (positions[n] for n in order if n not in green), default=-1
+    )
+    first_green = min(positions[n] for n in order if n in green)
+    assert last_unverified < first_green
