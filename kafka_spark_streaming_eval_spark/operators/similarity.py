@@ -597,9 +597,9 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 20000000).alias("query_id"), F.col("bucket").alias("c_bucket")
     )
     return (
-        qb.join(cb, "query_id")
-        .join(exact_hits, "query_id", "left")
-        .join(ann_hits, "query_id", "left")
+        qb.join(F.broadcast(cb), "query_id")
+        .join(F.broadcast(exact_hits), "query_id", "left")
+        .join(F.broadcast(ann_hits), "query_id", "left")
         .select(
             "query_id",
             (F.col("query_id") + 20000000).alias("canary_id"),
