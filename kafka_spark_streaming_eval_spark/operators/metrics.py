@@ -189,6 +189,56 @@ def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_corrupt_record_audit",
+    "reference-parity",
+    oracle="""
+    SELECT event_type, count(*) AS n_rows,
+           count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS n_corrupt,
+           count(CASE WHEN event_id % 7 <> 0
+                      THEN json_extract(props, '$.k') END) AS n_decoded_k
+    FROM events GROUP BY event_type
+    """,
+)
+def corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 completion (SURVEY §1.3): malformed JSON must never kill the
+    pipeline — the reference relies on ``from_json``'s default PERMISSIVE
+    nulls (spark_stream_metrics.py:45); this makes the quarantine explicit
+    with ``columnNameOfCorruptRecord``.  A deterministic subset of props is
+    mangled into invalid JSON, decode quarantines exactly those rows into
+    ``_corrupt_record`` (valid rows keep decoding), and the audit counts
+    rows / quarantined / decoded per event type — the per-batch data-quality
+    gate a production ingest runs on every trigger."""
+    corrupted = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("{corrupt::"), "props")
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    decoded = corrupted.select(
+        "event_type",
+        F.from_json(
+            "raw",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("e._corrupt_record").alias("n_corrupt"),
+        F.count("e.k").alias("n_decoded_k"),
+    )
+
+
+@register(
     "ref_latency_derive",
     "reference-parity",
     oracle=f"SELECT event_id, {_LATENCY_SQL} AS latency_ms FROM {_EV}",
