@@ -74,6 +74,7 @@ def _last_green_round() -> dict[str, int]:
     committed ``CORRECTNESS_r*.json`` reports so the rotation advances by
     itself every round.
     """
+    _load_all()  # oracle presence feeds the rows-only rule below
     roots = {os.getcwd()}
     here = os.path.abspath(__file__)
     roots.add(os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(here)))))
@@ -94,10 +95,16 @@ def _last_green_round() -> dict[str, int]:
             for name, row in report.items():
                 if not isinstance(row, dict):
                     continue
-                green = row.get("hash_match") is True or (
-                    row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+                # A rows-only ("no_oracle") record only counts as verified if
+                # the query STILL has no oracle — once an oracle is added, the
+                # stronger hash check must actually run before it sorts back.
+                rows_only_ok = (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                    and name in _REGISTRY
+                    and _REGISTRY[name].oracle is None
                 )
-                if green:
+                if row.get("hash_match") is True or rows_only_ok:
                     last_green[name] = max(last_green.get(name, 0), rnd)
     return last_green
 
