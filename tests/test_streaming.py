@@ -274,3 +274,60 @@ def test_kafka_live_smoke(spark, tmp_path):
         query.awaitTermination()
     assert sink.rows, "no metric rows arrived from the live Kafka round-trip"
     assert sum(r.batch_events for r in sink.rows) == 500
+
+
+def test_rocksdb_state_store_streaming_agg(spark, tmp_path):
+    """The 100 TB state path, ungated: a watermarked windowed aggregation
+    running on the RocksDB state store provider (state lives on executor
+    local disk, not the JVM heap — the only viable provider once streaming
+    state outgrows memory) must produce exactly the batch answer.  Unlike
+    the transformWithState test this has no protobuf dependency, so the
+    RocksDB provider is exercised in every environment."""
+    from kafka_spark_streaming_eval_spark.streaming.tws import ROCKSDB_PROVIDER
+
+    src = str(tmp_path / "rocksdb_src")
+    df = synth_events_batch(spark, 20_000).withColumn(
+        "ts", F.timestamp_millis(F.col("created_ts"))
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocksdb_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    got = {
+        (r.window.start, r.event_type, r.n)
+        for r in spark.table("rocksdb_out").collect()
+    }
+    exp = {
+        (r.window.start, r.event_type, r.n)
+        for r in df.groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) > 0
