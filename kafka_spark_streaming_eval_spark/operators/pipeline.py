@@ -101,3 +101,75 @@ def pipeline_curate_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.join(emb, sampled.doc_id == emb.vec_id).select(
         "doc_id", "lang", "n_chars", "n_tokens", "content_hash", emb_norm.alias("emb_norm")
     )
+
+
+def _neardup_oracle() -> str:
+    from kafka_spark_streaming_eval_spark.operators.dedup import _LSH_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (SELECT u AS doc_id, min(v) AS component_id FROM reach GROUP BY u),
+    losers AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+    quality AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 100
+    ),
+    flagged AS (
+      SELECT q.lang, q.n_chars, (l.doc_id IS NOT NULL) AS is_loser
+      FROM quality q LEFT JOIN losers l ON q.doc_id = l.doc_id
+    )
+    SELECT lang,
+           count(CASE WHEN NOT is_loser THEN 1 END) AS n_docs_kept,
+           CAST(SUM(CASE WHEN NOT is_loser THEN n_chars END) AS BIGINT)
+             AS n_chars_kept,
+           count(CASE WHEN is_loser THEN 1 END) AS n_neardup_removed
+    FROM flagged GROUP BY lang
+    """
+
+
+@register("pipeline_curate_neardup", "pipeline", oracle=_neardup_oracle())
+def pipeline_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with NEAR-duplicate cluster removal — the stage exact
+    hashing cannot do: LSH candidate pairs -> connected components -> keep
+    the min-doc_id survivor per near-dup cluster, drop the rest, then
+    report kept/removed volume per language.  This is the canonical
+    pretraining-data dedup shape (MinHash clusters, one survivor per
+    cluster) composed from `dedup_minhash_lsh_pairs` and
+    `dedup_cluster_components`.
+
+    Scale shape: the loser set is O(near-duplicate docs), tiny relative to
+    the corpus, and joins the quality-gated scan on doc_id (an anti-join
+    at heart — expressed as left join + flag so removed volume is also
+    reported).  The component computation is the bounded label-propagation
+    loop; nothing here ever materializes all-pairs."""
+    from kafka_spark_streaming_eval_spark.operators.dedup import (
+        dedup_cluster_components,
+    )
+
+    prep(spark)
+    quality = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 100)
+        .select("doc_id", "lang", "n_chars")
+    )
+    comps = dedup_cluster_components(spark, sf_dir)
+    losers = comps.where(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id", F.lit(True).alias("is_loser")
+    )
+    flagged = quality.join(losers, "doc_id", "left").withColumn(
+        "is_loser", F.coalesce("is_loser", F.lit(False))
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.when(~F.col("is_loser"), 1)).alias("n_docs_kept"),
+        F.sum(F.when(~F.col("is_loser"), F.col("n_chars"))).alias("n_chars_kept"),
+        F.count(F.when(F.col("is_loser"), 1)).alias("n_neardup_removed"),
+    )
