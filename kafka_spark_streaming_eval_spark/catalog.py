@@ -28,7 +28,34 @@ TABLES = (
 )
 
 
-def events_ts_ms(df: DataFrame) -> DataFrame:
+def events_long_ts_divisor(path: str) -> int:
+    """Epoch-unit divisor (to ms) for a long-encoded ``ts`` column, detected
+    from parquet column statistics — metadata only, no data scan.
+
+    The testdata generator has already changed the ``ts`` encoding once
+    between driver rounds; if a future vintage stores epoch ms or us as a
+    plain long, a hard-coded nanosecond divide would silently corrupt every
+    events query.  Magnitude disambiguates exactly (epoch-ms ~1.7e12,
+    -us ~1.7e15, -ns ~1.7e18 for 2020s dates).
+    """
+    divisor = 1_000_000  # nanos: the only long vintage observed so far
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        stats = meta.row_group(0).column(cols["ts"]).statistics
+        mx = stats.max if stats is not None else None
+        if isinstance(mx, int):
+            divisor = 1
+            while mx // divisor > 4_000_000_000_000:  # > year ~2096 in epoch-ms
+                divisor *= 1000
+    except Exception:
+        pass  # stats unavailable -> keep the observed-vintage default
+    return divisor
+
+
+def events_ts_ms(df: DataFrame, long_divisor: int = 1_000_000) -> DataFrame:
     """Normalize ``events.ts`` to a ms-truncated TIMESTAMP (UTC instant).
 
     The testdata generator has stored ``ts`` two ways across rounds:
@@ -37,13 +64,14 @@ def events_ts_ms(df: DataFrame) -> DataFrame:
     timestamp[us], which scans as TIMESTAMP_NTZ.  Both normalize to the
     same ms-truncated TIMESTAMP column, so every downstream query and its
     DuckDB oracle (``date_trunc('milliseconds', ts)``) agree bit-for-bit
-    whichever file vintage is on disk.
+    whichever file vintage is on disk.  ``long_divisor`` (from
+    ``events_long_ts_divisor``) maps a long-encoded ts to epoch-ms.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    if isinstance(df.schema["ts"].dataType, LongType):  # nanos-as-long vintage
-        ts_ms = F.timestamp_millis(F.expr("ts div 1000000"))
+    if isinstance(df.schema["ts"].dataType, LongType):  # epoch-long vintage
+        ts_ms = F.timestamp_millis(F.expr(f"ts div {int(long_divisor)}"))
     else:  # timestamp[us] vintage -> TIMESTAMP_NTZ scan (session tz is UTC)
         ts_ms = F.timestamp_millis(F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
     return df.withColumn("ts", ts_ms)
@@ -59,9 +87,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
+        path = f"{sf_dir}/{name}.parquet"
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return events_ts_ms(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        return events_ts_ms(
+            spark.read.parquet(path), long_divisor=events_long_ts_divisor(path)
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -21,7 +21,11 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_spark_streaming_eval_spark.catalog import events_ts_ms, table
+from kafka_spark_streaming_eval_spark.catalog import (
+    events_long_ts_divisor,
+    events_ts_ms,
+    table,
+)
 from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
@@ -65,7 +69,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
-    return events_ts_ms(raw)
+    return events_ts_ms(
+        raw, long_divisor=events_long_ts_divisor(f"{sf_dir}/events.parquet")
+    )
 
 
 def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -435,7 +441,9 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", 1)
             .parquet(staged)
         )
-        return events_ts_ms(raw).withWatermark("ts", "1 hour")
+        return events_ts_ms(
+            raw, long_divisor=events_long_ts_divisor(f"{sf_dir}/events.parquet")
+        ).withWatermark("ts", "1 hour")
 
     clicks = (
         side()

@@ -146,3 +146,26 @@ def test_pagerank_mass_conserved(spark):
     assert abs(total - 1.0) < 1e-9
     again = {r.node: r.pagerank for r in graph_pagerank_trade(spark, SF_DIR).collect()}
     assert {r.node: r.pagerank for r in rows} == again
+
+
+def test_events_long_ts_divisor_detects_epoch_unit(tmp_path):
+    """The testdata ts encoding changed once between driver rounds already;
+    if a future vintage stores epoch ms/us as a plain long, the divisor
+    detection (parquet stats magnitude, no data scan) must map each unit to
+    epoch-ms instead of silently dividing by the nanos constant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.catalog import events_long_ts_divisor
+
+    cases = {
+        1_786_650_000_000_000_000: 1_000_000,  # epoch-ns
+        1_786_650_000_000_000: 1_000,  # epoch-us
+        1_786_650_000_000: 1,  # epoch-ms
+    }
+    for v, expect in cases.items():
+        p = str(tmp_path / f"ts_{expect}.parquet")
+        pq.write_table(pa.table({"ts": pa.array([v, v + 5], type=pa.int64())}), p)
+        assert events_long_ts_divisor(p) == expect
+    # real timestamp-typed file: stats are datetimes -> observed default
+    assert events_long_ts_divisor("/root/testdata/sf0.001/events.parquet") == 1_000_000
