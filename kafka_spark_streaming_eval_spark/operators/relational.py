@@ -1422,7 +1422,15 @@ def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_partitioned_merge", "relational", oracle=None)
+@register(
+    "agg_hll_partitioned_merge",
+    "relational",
+    oracle=f"""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_5pct
+    FROM {_EV}
+    """,
+)
 def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting — THE pattern for 100 TB distinct
     counts: each shard builds a fixed-size HLL sketch (here: 32 shards of
@@ -1430,10 +1438,12 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate reads off the merged sketch.  No shuffle of raw values ever
     happens — only kilobyte sketches move, and the same sketches could be
     stored per-partition and re-merged incrementally as data arrives.
-    Rows-only check (the DataSketches HLL estimate is implementation-
-    specific); `tests/test_properties.py` asserts the estimate lands within
-    5% of the exact count, and exact_users in the output lets any run
-    audit the error."""
+
+    The DataSketches estimate itself is implementation-specific, so the
+    hash-checked contract is its accuracy: the output carries the exact
+    count and a ``merged_within_5pct`` flag that the oracle asserts TRUE —
+    the sharded-merge path must land within 5% of exact (also asserted
+    with the raw estimate in `tests/test_properties.py`)."""
     ev = _t(spark, sf_dir, "events")
     sketches = ev.groupBy(F.pmod(F.col("user_id"), F.lit(32)).alias("shard")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -1442,7 +1452,13 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
     exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
-    return merged.crossJoin(F.broadcast(exact))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users").cast("double") - F.col("exact_users").cast("double"))
+            <= 0.05 * F.col("exact_users").cast("double")
+        ).alias("merged_within_5pct"),
+    )
 
 
 @register(

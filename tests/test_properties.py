@@ -121,8 +121,13 @@ def test_lsh_bucket_cap_bounds_degenerate_fanout(spark):
 
 
 def test_hll_estimate_within_5pct(spark):
-    """The sharded-HLL merge must land near the exact distinct count —
-    the rows-only driver check can't see accuracy, so assert it here."""
+    """The sharded-HLL merge must land near the exact distinct count.  The
+    query itself now emits the bound as a hash-checked flag; this asserts
+    the same bound on the raw estimate so a regression shows the actual
+    error, not just a flipped boolean."""
+    from pyspark.sql import functions as SF
+
+    from kafka_spark_streaming_eval_spark.catalog import table
     from kafka_spark_streaming_eval_spark.operators.relational import (
         agg_hll_partitioned_merge,
     )
@@ -130,7 +135,16 @@ def test_hll_estimate_within_5pct(spark):
 
     row = agg_hll_partitioned_merge(spark, SF_DIR).collect()[0]
     assert row.exact_users > 0
-    assert abs(row.approx_users - row.exact_users) / row.exact_users < 0.05
+    assert row.merged_within_5pct
+    ev = table(spark, SF_DIR, "events")
+    raw = (
+        ev.groupBy(SF.pmod(SF.col("user_id"), SF.lit(32)).alias("shard"))
+        .agg(SF.hll_sketch_agg("user_id").alias("sk"))
+        .agg(SF.hll_sketch_estimate(SF.hll_union_agg("sk")).alias("approx"))
+        .collect()[0]
+        .approx
+    )
+    assert abs(raw - row.exact_users) / row.exact_users < 0.05
 
 
 def test_pagerank_mass_conserved(spark):
