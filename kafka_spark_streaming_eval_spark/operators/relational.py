@@ -1292,8 +1292,8 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_distinct(q)) AS n_distinct,
            list_contains(q, 1.0) AS has_one,
            list_sort(list_filter(q, x -> x >= 25)) AS big_quantities,
-           round(list_reduce(list_transform(q, x -> CAST(x AS DECIMAL(38,6))),
-                             (a, b) -> a + b), 6) AS q_sum,
+           CAST(round(list_reduce(list_transform(q, x -> CAST(x AS DECIMAL(38,6))),
+                                  (a, b) -> a + b), 6) AS DOUBLE) AS q_sum,
            list_sort(list_transform(q, x -> x * 2)) AS doubled
     FROM arrs
     """,
@@ -1322,7 +1322,10 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("q")).alias("n_distinct"),
         F.array_contains("q", 1.0).alias("has_one"),
         F.array_sort(F.filter("q", lambda x: x >= 25)).alias("big_quantities"),
-        F.round(dec_sum, 6).alias("q_sum"),
+        # double, not decimal: pandas fetches decimals as Decimal objects
+        # whose string form ('40.000000') differs from the oracle's float
+        # ('40.0') under a dtype-sensitive value hash
+        F.round(dec_sum, 6).cast("double").alias("q_sum"),
         F.array_sort(F.transform("q", lambda x: x * 2)).alias("doubled"),
     )
 
@@ -2053,7 +2056,7 @@ def scalar_codec_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN p_size % 2 = 1 THEN NULL
                 ELSE 9223372036854775806 END AS VARCHAR) AS add_or_null,
            (string_split(p_name, ' '))[9999] AS oob_token,
-           try_cast(p_brand AS DECIMAL(5, 1)) AS brand_num
+           CAST(try_cast(p_brand AS DECIMAL(5, 1)) AS DOUBLE) AS brand_num
     FROM part
     """,
 )
@@ -2078,7 +2081,10 @@ def scalar_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("add_or_null"),
         F.try_element_at(F.split("p_name", " "), F.lit(9999)).alias("oob_token"),
-        F.col("p_brand").try_cast("decimal(5,1)").alias("brand_num"),
+        # double, not decimal: an all-NULL decimal column fetches as object
+        # (None) while the oracle's fetches float64 (NaN) — dtype drift
+        # under a dtype-sensitive value hash
+        F.col("p_brand").try_cast("decimal(5,1)").cast("double").alias("brand_num"),
     )
 
 
