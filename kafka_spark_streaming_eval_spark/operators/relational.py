@@ -1710,7 +1710,7 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
-           max(o.o_orderdate) AS last_order,
+           epoch_ms(max(o.o_orderdate)) AS last_order_ms,
            count(o.o_orderkey) AS n_orders
     FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
@@ -1728,7 +1728,10 @@ def join_right_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey, "right")
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
-            F.max("o_orderdate").alias("last_order"),
+            # unix_millis bigint, per the registry determinism contract —
+            # raw timestamps fetch at different pandas precisions (ns vs us)
+            # across engines
+            F.unix_millis(F.max("o_orderdate").cast("timestamp")).alias("last_order_ms"),
             F.count("o_orderkey").alias("n_orders"),
         )
     )
