@@ -389,3 +389,76 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pairs") >= 5)
     )
+
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_URL_RE = r"https?://[a-z0-9./_-]+"
+
+
+@register(
+    "text_scrub_contacts",
+    "text-analysis",
+    oracle=rf"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com via https://ex.org/p/' || doc_id
+                  ELSE text END AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, lang, text,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_URL_RE}', '<URL>', 'g') AS clean
+      FROM aug
+    )
+    SELECT doc_id, lang,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+           length(text) AS len_before,
+           length(clean) AS len_after,
+           (length(text) <> length(clean)) AS was_scrubbed
+    FROM scrubbed
+    """,
+)
+def text_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contact-info scrubbing — the canonical pretraining-data cleaning
+    step: detect and redact email addresses and URLs before training.
+    A deterministic subset of documents gets injected contacts (the corpus
+    itself contains none, which would make a 0-matches pass vacuous — same
+    fixture discipline as `dedup_embedding_neardup`), then both the
+    detection counts and the redacted lengths are hash-checked.  Patterns
+    are conservative ASCII classes so Java regex (Spark) and RE2 (DuckDB)
+    agree token-for-token; the whole scrub is two codegen'd
+    ``regexp_replace`` passes over the scan — zero shuffles, the shape
+    that matters when redaction runs over every document at 100 TB."""
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://ex.org/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return aug.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), 0)).alias("n_urls"),
+        F.length("text").alias("len_before"),
+        F.length(clean).alias("len_after"),
+        (F.length("text") != F.length(clean)).alias("was_scrubbed"),
+    )
