@@ -35,8 +35,11 @@ def events_long_ts_divisor(path: str) -> int:
     The testdata generator has already changed the ``ts`` encoding once
     between driver rounds; if a future vintage stores epoch ms or us as a
     plain long, a hard-coded nanosecond divide would silently corrupt every
-    events query.  Magnitude disambiguates exactly (epoch-ms ~1.7e12,
-    -us ~1.7e15, -ns ~1.7e18 for 2020s dates).
+    events query.  Magnitude disambiguates exactly (epoch-s ~1.7e9,
+    -ms ~1.7e12, -us ~1.7e15, -ns ~1.7e18 for 2020s dates).
+
+    Returns a positive divisor to ms, or a NEGATIVE value whose magnitude
+    is a multiplier to ms (epoch-seconds vintage).
     """
     divisor = 1_000_000  # nanos: the only long vintage observed so far
     try:
@@ -47,9 +50,17 @@ def events_long_ts_divisor(path: str) -> int:
         stats = meta.row_group(0).column(cols["ts"]).statistics
         mx = stats.max if stats is not None else None
         if isinstance(mx, int):
-            divisor = 1
-            while mx // divisor > 4_000_000_000_000:  # > year ~2096 in epoch-ms
-                divisor *= 1000
+            if 0 < mx < 100_000_000_000:
+                # Below ~year 5138 in epoch-ms means the values can only be
+                # epoch-SECONDS (~1.7e9 for 2020s dates).  A divisor of 1
+                # here would silently read seconds as ms and collapse every
+                # date to 1970 — the exact bug this function exists to stop.
+                # Negative return = multiplier to ms (see events_ts_ms).
+                divisor = -1000
+            else:
+                divisor = 1
+                while mx // divisor > 4_000_000_000_000:  # > ~2096 in epoch-ms
+                    divisor *= 1000
     except Exception:
         pass  # stats unavailable -> keep the observed-vintage default
     return divisor
@@ -71,7 +82,10 @@ def events_ts_ms(df: DataFrame, long_divisor: int = 1_000_000) -> DataFrame:
     from pyspark.sql.types import LongType
 
     if isinstance(df.schema["ts"].dataType, LongType):  # epoch-long vintage
-        ts_ms = F.timestamp_millis(F.expr(f"ts div {int(long_divisor)}"))
+        if long_divisor < 0:  # epoch-seconds: negative = multiplier to ms
+            ts_ms = F.timestamp_millis(F.expr(f"ts * {-int(long_divisor)}"))
+        else:
+            ts_ms = F.timestamp_millis(F.expr(f"ts div {int(long_divisor)}"))
     else:  # timestamp[us] vintage -> TIMESTAMP_NTZ scan (session tz is UTC)
         ts_ms = F.timestamp_millis(F.expr("unix_micros(cast(ts as timestamp)) div 1000"))
     return df.withColumn("ts", ts_ms)

@@ -40,6 +40,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
 
 
+# The driver's canonicalizer pandas-sorts every output column before hashing
+# and raises on array/map cells, so registered queries must emit scalar
+# columns only.  These helpers keep the higher-order array/map ops in the
+# plan and serialize just the OUTPUT representation, pinned to an identical
+# string on both engines: doubles go through DECIMAL(38,6) so Spark and
+# DuckDB render the same fixed-point text ("40.000000"), strings join as-is.
+def _arrstr_d(col):
+    """array<double> -> '|'-joined fixed-point strings (driver-hashable)."""
+    return F.array_join(
+        F.transform(col, lambda x: x.cast("decimal(38,6)").cast("string")), "|"
+    )
+
+
+def _arrstr_d_sql(expr: str) -> str:
+    # coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+    return (
+        f"coalesce(array_to_string(list_transform({expr}, "
+        f"x -> CAST(CAST(x AS DECIMAL(38,6)) AS VARCHAR)), '|'), '')"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation over the fact table (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -906,24 +927,30 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational",
     oracle="""
     SELECT event_type,
-           list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.95]),
-                          x -> round(x, 6)) AS value_quartiles,
+           {arr}
+             AS value_quartiles,
            count(*) AS n
     FROM events
     GROUP BY event_type
-    """,
+    """.format(
+        arr=_arrstr_d_sql(
+            "list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.95]),"
+            " x -> round(x, 6))"
+        )
+    ),
 )
 def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (sort-based) per group — the ground truth the
     reference's approxQuantile (A2) trades away.  Both engines use linear
-    interpolation between order statistics; results rounded to 6 dp before
-    compare.  At 100 TB exact percentiles force a per-group sort, which is
-    why production stats stay on percentile_approx sketches (the
-    ``ref_flagship_batch_metrics`` path)."""
+    interpolation between order statistics; results rounded to 6 dp, then
+    serialized to one fixed-point string per group (the driver's hash only
+    accepts scalar cells).  At 100 TB exact percentiles force a per-group
+    sort, which is why production stats stay on percentile_approx sketches
+    (the ``ref_flagship_batch_metrics`` path)."""
     ev = _t(spark, sf_dir, "events")
     pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
     return ev.groupBy("event_type").agg(
-        F.transform(pct, lambda x: F.round(x, 6)).alias("value_quartiles"),
+        _arrstr_d(F.transform(pct, lambda x: F.round(x, 6))).alias("value_quartiles"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1291,12 +1318,15 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
            q[-1] AS q_max,
            len(list_distinct(q)) AS n_distinct,
            list_contains(q, 1.0) AS has_one,
-           list_sort(list_filter(q, x -> x >= 25)) AS big_quantities,
+           {big} AS big_quantities,
            CAST(round(list_reduce(list_transform(q, x -> CAST(x AS DECIMAL(38,6))),
                                   (a, b) -> a + b), 6) AS DOUBLE) AS q_sum,
-           list_sort(list_transform(q, x -> x * 2)) AS doubled
+           {dbl} AS doubled
     FROM arrs
-    """,
+    """.format(
+        big=_arrstr_d_sql("list_sort(list_filter(q, x -> x >= 25))"),
+        dbl=_arrstr_d_sql("list_sort(list_transform(q, x -> x * 2))"),
+    ),
 )
 def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function battery over per-order quantity vectors: size, index
@@ -1304,7 +1334,9 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-wise transform — the higher-order-function surface that keeps
     list manipulation JVM-side (whole-stage codegen) instead of in Python
     UDFs.  Arrays are built with sort_array(collect_list) so contents are
-    deterministic under any shuffle order."""
+    deterministic under any shuffle order; array-valued outputs are
+    serialized to '|'-joined fixed-point strings because the driver's
+    canonicalizer only hashes scalar cells."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
     arrs = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_quantity")).alias("q")
@@ -1321,12 +1353,14 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("q", -1).alias("q_max"),
         F.size(F.array_distinct("q")).alias("n_distinct"),
         F.array_contains("q", 1.0).alias("has_one"),
-        F.array_sort(F.filter("q", lambda x: x >= 25)).alias("big_quantities"),
+        _arrstr_d(F.array_sort(F.filter("q", lambda x: x >= 25))).alias(
+            "big_quantities"
+        ),
         # double, not decimal: pandas fetches decimals as Decimal objects
         # whose string form ('40.000000') differs from the oracle's float
         # ('40.0') under a dtype-sensitive value hash
         F.round(dec_sum, 6).cast("double").alias("q_sum"),
-        F.array_sort(F.transform("q", lambda x: x * 2)).alias("doubled"),
+        _arrstr_d(F.array_sort(F.transform("q", lambda x: x * 2))).alias("doubled"),
     )
 
 
@@ -1385,9 +1419,9 @@ def window_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket,
            count(*) AS n_types,
            coalesce(max(CASE WHEN event_type = 'click' THEN cnt END), 0) AS clicks,
-           list_sort(list(event_type)) AS types,
+           coalesce(array_to_string(list_sort(list(event_type)), '|'), '') AS types,
            CAST(sum(cnt) AS BIGINT) AS total,
-           coalesce(list_sort(list(event_type) FILTER (WHERE cnt >= 10)), []) AS big_types,
+           coalesce(array_to_string(list_sort(list(event_type) FILTER (WHERE cnt >= 10)), '|'), '') AS big_types,
            2 * max(CASE WHEN event_type = 'click' THEN cnt END) AS clicks_doubled
     FROM cnts
     GROUP BY bucket
@@ -1414,11 +1448,13 @@ def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.size("m").cast("long").alias("n_types"),
         F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias("clicks"),
-        F.map_keys("m").alias("types"),
+        F.array_join(F.map_keys("m"), "|").alias("types"),
         F.aggregate(
             F.map_values("m"), F.lit(0).cast("long"), lambda a, b: a + b
         ).alias("total"),
-        F.map_keys(F.map_filter("m", lambda k, v: v >= 10)).alias("big_types"),
+        F.array_join(
+            F.array_sort(F.map_keys(F.map_filter("m", lambda k, v: v >= 10))), "|"
+        ).alias("big_types"),
         F.element_at(
             F.transform_values("m", lambda k, v: v * 2), F.lit("click")
         ).alias("clicks_doubled"),
@@ -1986,7 +2022,7 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relational",
     oracle="""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '([a-z]+)', 1) AS words,
+           coalesce(array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), '|'), '') AS words,
            len(regexp_extract_all(p_name, 'a', 0)) AS n_a,
            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
            regexp_matches(p_name, '^[a-m]') AS starts_low,
@@ -2004,7 +2040,9 @@ def scalar_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.regexp_extract_all("p_name", F.lit("([a-z]+)"), 1).alias("words"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("([a-z]+)"), 1), "|"
+        ).alias("words"),
         F.regexp_count("p_name", F.lit("a")).alias("n_a"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.col("p_name").rlike("^[a-m]").alias("starts_low"),
@@ -2181,7 +2219,7 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            count(*) AS n_suppliers,
            string_agg(s.s_name, '|' ORDER BY s.s_name) AS roster,
-           list(s.s_name ORDER BY s.s_name) AS roster_arr
+           array_to_string(list(s.s_name ORDER BY s.s_name), '/') AS roster_arr
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -2203,7 +2241,7 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name AS nation,
                count(*) AS n_suppliers,
                listagg(s.s_name, '|') WITHIN GROUP (ORDER BY s.s_name) AS roster,
-               array_sort(collect_list(s.s_name)) AS roster_arr
+               array_join(array_sort(collect_list(s.s_name)), '/') AS roster_arr
         FROM la_supplier s JOIN la_nation n ON s.s_nationkey = n.n_nationkey
         GROUP BY n.n_name
         """

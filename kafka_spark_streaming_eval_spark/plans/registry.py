@@ -76,8 +76,11 @@ def _last_green_round() -> dict[str, int]:
     """
     _load_all()  # oracle presence feeds the rows-only rule below
     roots = {os.getcwd()}
+    # plans/registry.py -> plans -> package -> repo root (three dirnames, not
+    # four: four lands on the repo's PARENT and the glob silently finds no
+    # CORRECTNESS reports when cwd isn't the repo root).
     here = os.path.abspath(__file__)
-    roots.add(os.path.dirname(os.path.dirname(os.path.dirname(os.path.dirname(here)))))
+    roots.add(os.path.dirname(os.path.dirname(os.path.dirname(here))))
     last_green: dict[str, int] = {}
     for root in roots:
         for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):

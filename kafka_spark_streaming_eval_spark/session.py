@@ -42,15 +42,44 @@ def get_spark(
     return spark
 
 
+_SCRATCH_SWEPT = False
+
+
+def _sweep_dead_scratch() -> None:
+    """Remove /tmp/sgraft_<pid>_* dirs left by processes that no longer
+    exist.  scratch paths embed the creating PID (concurrent-process
+    isolation), so without this sweep every driver round leaks its staged
+    datasets — repeated rounds would grow /tmp without bound."""
+    import glob
+    import re
+    import shutil
+
+    for d in glob.glob("/tmp/sgraft_*_*"):
+        m = re.match(r"sgraft_(\d+)_", os.path.basename(d))
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the pid is gone
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
 def scratch_dir(tag: str, *keys: str) -> str:
     """Deterministic per-process scratch path under /tmp.
 
     Keyed on the caller's tag + content keys + this PID: re-runs inside one
     process hit (and clean) the same path, while concurrent processes over
-    the same dataset never collide on staged writes.
+    the same dataset never collide on staged writes.  First use sweeps
+    dead processes' leftovers so repeated rounds don't leak disk.
     """
     import hashlib
 
+    global _SCRATCH_SWEPT
+    if not _SCRATCH_SWEPT:
+        _SCRATCH_SWEPT = True
+        _sweep_dead_scratch()
     digest = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
     return f"/tmp/sgraft_{os.getpid()}_{tag}_{digest}"
 

@@ -54,8 +54,16 @@ def _norm_cell(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
-    if isinstance(v, (np.ndarray, list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (np.ndarray, list, tuple, dict, set)):
+        # The driver's canonicalizer pandas-sorts columns before hashing and
+        # raises TypeError: unhashable type on collection cells (4 ERR rows
+        # in CORRECTNESS_r02).  The local gate must predict the driver, so a
+        # collection cell is a hard failure here, not something to tuple-ize.
+        raise AssertionError(
+            f"collection-typed cell {type(v).__name__} would crash the "
+            f"driver's canonicalizer — serialize it (array_join/to_json) "
+            f"in both engines: {v!r:.120}"
+        )
     return v
 
 
@@ -77,13 +85,34 @@ def _dtype_kinds(df_pandas):
     local gate must also reject cross-engine kind drift, which the value
     normalization in ``_norm_cell`` would otherwise erase.
     """
-    kind_map = {"u": "i", "m": "M"}
+    # "u" (unsigned) folds into "i"; "m" (timedelta64) deliberately does NOT
+    # fold into "M" (datetime64) — the driver's typed value hash distinguishes
+    # them, so timedelta-vs-datetime must count as drift here too.
+    kind_map = {"u": "i"}
     return {c: kind_map.get(df_pandas[c].dtype.kind, df_pandas[c].dtype.kind) for c in df_pandas.columns}
+
+
+def assert_driver_hashable_schema(spark_df, name: str = "?"):
+    """Registered queries must emit scalar columns only: the driver's
+    canonicalizer cannot sort/hash array, map, struct, or binary cells."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    assert not bad, (
+        f"{name}: columns {bad} are collection/binary-typed — the driver's "
+        f"canonicalizer crashes on them; serialize (array_join/to_json/hex) "
+        f"in both the Spark query and the oracle SQL"
+    )
 
 
 def assert_matches_oracle(spark_df, ducks, oracle_sql: str, name: str = "?"):
     """Exact order-insensitive comparison (the driver hashes values, so any
     float drift is a failure — this is deliberately NOT tolerance-based)."""
+    assert_driver_hashable_schema(spark_df, name)
     got_pdf = spark_df.toPandas()
     exp_pdf = ducks.execute(oracle_sql).fetchdf()
     got_cols, got_rows = canonical_rows(got_pdf)

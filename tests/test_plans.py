@@ -190,3 +190,33 @@ def test_registry_rotation_unverified_first():
     )
     first_green = min(positions[n] for n in order if n in green)
     assert last_unverified < first_green
+
+
+def test_registry_fallback_root_is_repo_root():
+    """_last_green_round's package-relative fallback must resolve to the
+    repo root (where CORRECTNESS_r*.json live), independent of cwd — one
+    dirname too many lands on the repo's PARENT and rotation silently
+    degrades to registration order."""
+    import glob
+    import os
+
+    from kafka_spark_streaming_eval_spark.plans import registry
+
+    here = os.path.abspath(registry.__file__)
+    root = os.path.dirname(os.path.dirname(os.path.dirname(here)))
+    assert os.path.basename(root) != "", root
+    # the fallback root must be the directory that actually holds the reports
+    committed = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    if not committed:
+        import pytest
+
+        pytest.skip("no CORRECTNESS reports committed yet")
+    # and _last_green_round must see them even from a foreign cwd
+    cwd = os.getcwd()
+    try:
+        os.chdir("/tmp")
+        assert registry._last_green_round(), (
+            "rotation found no green rows with cwd outside the repo"
+        )
+    finally:
+        os.chdir(cwd)

@@ -176,6 +176,7 @@ def test_events_long_ts_divisor_detects_epoch_unit(tmp_path):
         1_786_650_000_000_000_000: 1_000_000,  # epoch-ns
         1_786_650_000_000_000: 1_000,  # epoch-us
         1_786_650_000_000: 1,  # epoch-ms
+        1_786_650_000: -1000,  # epoch-SECONDS: negative = multiplier to ms
     }
     for v, expect in cases.items():
         p = str(tmp_path / f"ts_{expect}.parquet")
@@ -183,3 +184,41 @@ def test_events_long_ts_divisor_detects_epoch_unit(tmp_path):
         assert events_long_ts_divisor(p) == expect
     # real timestamp-typed file: stats are datetimes -> observed default
     assert events_long_ts_divisor("/root/testdata/sf0.001/events.parquet") == 1_000_000
+
+
+def test_null_battery_oracle_duckdb_version_neutral():
+    """scalar_null_battery's zero_div_is_null column must not depend on the
+    DuckDB version: >=1.1 defaults ieee_floating_point_ops=true, flipping
+    plain x/0.0 from NULL to inf.  The oracle divides by nullif(denom, 0.0)
+    so the division is x/NULL = NULL under BOTH settings — assert that under
+    whichever settings this DuckDB exposes."""
+    import duckdb
+
+    expr = "SELECT (1.5 / nullif(1.5 - 1.5, 0.0)) IS NOT DISTINCT FROM NULL"
+    con = duckdb.connect()
+    assert con.execute(expr).fetchone()[0] is True
+    for setting in ("true", "false"):
+        try:
+            con.execute(f"SET ieee_floating_point_ops={setting}")
+        except duckdb.Error:
+            continue  # knob absent in this DuckDB version
+        assert con.execute(expr).fetchone()[0] is True, setting
+
+
+def test_epoch_seconds_vintage_reads_real_dates(spark, tmp_path):
+    """End-to-end guard for the epoch-seconds vintage: a long ts column of
+    ~1.7e9 must surface as 2020s timestamps, not collapse to 1970."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.catalog import (
+        events_long_ts_divisor,
+        events_ts_ms,
+    )
+
+    p = str(tmp_path / "ev_secs.parquet")
+    secs = 1_754_000_000  # 2025-08-01ish
+    pq.write_table(pa.table({"ts": pa.array([secs, secs + 60], type=pa.int64())}), p)
+    df = events_ts_ms(spark.read.parquet(p), long_divisor=events_long_ts_divisor(p))
+    years = [r.y for r in df.selectExpr("year(ts) AS y").collect()]
+    assert years == [2025, 2025], years

@@ -257,6 +257,14 @@ def test_kafka_live_smoke(spark, tmp_path):
         events, checkpoint=str(tmp_path / "ck"), trigger_sec=1
     )
     try:
+        # startingOffsets=latest is only resolved when the source plans its
+        # first micro-batch; producing before that snapshot would silently
+        # skip all 500 records and time the test out.  Wait for at least one
+        # (empty) batch to complete before producing.
+        produce_deadline = time.time() + 30
+        while time.time() < produce_deadline and not query.recentProgress:
+            time.sleep(0.5)
+        assert query.recentProgress, "stream never planned its first batch"
         wire = spark.range(500).select(
             F.to_json(F.struct(*event_columns(F.col("id")))).alias("value")
         )
