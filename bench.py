@@ -60,6 +60,7 @@ HEADLINE = [
     "sim_ann_recall_audit",
     "text_word_freq",
     "text_quality_score",
+    "text_decontaminate_ngrams",
     "stream_tumbling_counts",
     "etl_merge_upsert",
     "graph_pagerank_trade",
@@ -179,17 +180,22 @@ def main() -> None:
     # Warm-up: boots the JVM, JIT, filesystem caches — excluded from timing.
     specs["ref_minmax_anchor"].fn(spark, sf_dir).count()
 
-    # Streaming first, on the freshly-warmed session: BASELINE exp1 measured
-    # the reference's stream standalone, and running it after 34 batch
-    # queries + two 1M-event throughput passes in the same JVM inflated p95
-    # by ~33% in round 2 (GC pressure / shuffle-file churn from neighbors).
-    stream_eps, stream_p95, recovery_s = streaming_live(spark)
-
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
 
     eps = throughput_eps(spark)
+
+    # Quiesce before the latency-sensitive streaming measurement: BASELINE
+    # exp1 measured the reference's stream standalone, while here 34 batch
+    # queries + two 1M-event throughput passes precede it in the same JVM —
+    # without a cleanup that neighbor churn inflated p95 by ~33% in round 2.
+    # (Batch queries deliberately stay FIRST: running the stream before them
+    # measurably slows every batch query instead.)
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2.0)
+    stream_eps, stream_p95, recovery_s = streaming_live(spark)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

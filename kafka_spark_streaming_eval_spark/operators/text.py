@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.functions.numeric import davg, davg_sql
+from kafka_spark_streaming_eval_spark.operators.dedup import (
+    _SHINGLES_SQL,
+    shingle_rows,
+)
 from kafka_spark_streaming_eval_spark.plans.registry import register
 from kafka_spark_streaming_eval_spark.session import prep
 
@@ -461,4 +465,127 @@ def text_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("len_before"),
         F.length(clean).alias("len_after"),
         (F.length("text") != F.length(clean)).alias("was_scrubbed"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    "text",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles}) AS sh FROM documents
+    ),
+    per AS (
+      SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY doc_id, sh
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_shingles,
+             count(*) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS max_repeat
+      FROM per GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           coalesce(a.n_shingles, 0) AS n_shingles,
+           coalesce(a.n_distinct, 0) AS n_distinct,
+           coalesce(a.max_repeat, 0) AS max_repeat,
+           CASE WHEN coalesce(a.n_shingles, 0) > 0
+                THEN round(1.0 - a.n_distinct / CAST(a.n_shingles AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """.format(shingles=_SHINGLES_SQL),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram repetition signal (the Gopher-family quality rule
+    that `text_quality_score`'s length/punctuation features don't cover):
+    per document, total vs distinct shingle counts, the max single-shingle
+    repeat, and the duplicate fraction ``1 - distinct/total``.  Highly
+    repetitive machine-generated text scores high and gets filtered before
+    training.  Plan shape: one (doc_id, shingle) partial-agg shuffle, one
+    doc_id agg — both keyed under the document, so the corpus never
+    all-pairs or broadcasts; scales linearly with corpus size."""
+    d = _docs(spark, sf_dir)
+    rep = (
+        shingle_rows(d)
+        .groupBy("doc_id", "sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("max_repeat"),
+        )
+    )
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles")
+    return d.select("doc_id", "lang").join(rep, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        n_sh,
+        F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+        F.coalesce(F.col("max_repeat"), F.lit(0)).alias("max_repeat"),
+        F.when(
+            F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+@register(
+    "text_decontaminate_ngrams",
+    "text",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles}) AS sh FROM documents
+    ),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT c.doc_id, count(DISTINCT c.sh) AS n_overlap
+      FROM sh c JOIN eval_sh e USING (sh)
+      WHERE c.doc_id % 50 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 50 <> 0
+    """.format(shingles=_SHINGLES_SQL),
+)
+def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap check every serious
+    pretraining pipeline runs before training (flag any training document
+    sharing an n-gram with the eval set, then drop or surgically trim it).
+    The held-out set here is every 50th document; the contract is the
+    n-gram semi-join itself.  Plan shape for 100 TB: the eval set's
+    distinct shingles are tiny and BROADCAST, so the corpus-side scan is
+    map-only (no corpus shuffle); only matching (doc, shingle) hits — a
+    vanishing fraction — shuffle for the per-doc distinct count."""
+    d = _docs(spark, sf_dir)
+    sh = shingle_rows(d)
+    eval_sh = (
+        sh.where(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    )
+    hits = (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_overlap"))
+    )
+    return (
+        d.where(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
     )
