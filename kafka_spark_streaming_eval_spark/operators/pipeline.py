@@ -173,3 +173,80 @@ def pipeline_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("is_loser"), F.col("n_chars"))).alias("n_chars_kept"),
         F.count(F.when(F.col("is_loser"), 1)).alias("n_neardup_removed"),
     )
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_SHARDS = 16  # independent pack streams per language
+
+
+@register(
+    "pipeline_pack_sequences",
+    "pipeline",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, lang, shard, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM docs
+    )
+    SELECT lang, shard,
+           CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM placed
+    GROUP BY lang, shard, bin_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate documents into fixed token-budget
+    training windows (the accounting behind every pretraining batch
+    builder): docs stream in deterministic doc_id order, a running token
+    total places each doc, and the bin is the budget-window its start
+    falls in (docs straddling a boundary stay whole, the standard greedy
+    concat-and-chunk).  Scale shape: packing is per (lang, md5-shard) — 16
+    independent streams per language — so the running-sum window
+    parallelizes instead of serializing each language through one
+    reducer; one shuffle on the stream key, then one keyed agg.  The
+    whole contract is integer arithmetic: zero float drift by
+    construction."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).alias("shard")
+    docs = d.select(
+        "doc_id", "lang", shard, F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return placed.groupBy(
+        "lang",
+        "shard",
+        # integer DIV, not float division: exact at any corpus size
+        F.expr(f"CAST(start_tok DIV {PACK_BUDGET} AS BIGINT)").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
