@@ -222,3 +222,25 @@ def test_epoch_seconds_vintage_reads_real_dates(spark, tmp_path):
     df = events_ts_ms(spark.read.parquet(p), long_divisor=events_long_ts_divisor(p))
     years = [r.y for r in df.selectExpr("year(ts) AS y").collect()]
     assert years == [2025, 2025], years
+
+
+def test_comparator_rejects_collection_cells(spark, ducks):
+    """The local gate must PREDICT the driver: a query returning an array
+    column has to fail locally (the driver's canonicalizer raises
+    TypeError on collection cells), both at the schema gate and — if a
+    bare pandas frame ever reaches it — at cell normalization."""
+    import pytest as _pytest
+
+    from tests.conftest import (
+        _norm_cell,
+        assert_driver_hashable_schema,
+        assert_matches_oracle,
+    )
+
+    with _pytest.raises(AssertionError, match="collection-typed cell"):
+        _norm_cell([1, 2, 3])
+    df = spark.range(1).select("id", F.array(F.lit(1), F.lit(2)).alias("arr"))
+    with _pytest.raises(AssertionError, match="collection/binary-typed"):
+        assert_driver_hashable_schema(df, "gate-probe")
+    with _pytest.raises(AssertionError):
+        assert_matches_oracle(df, ducks, "SELECT 0 AS id, [1, 2] AS arr", "gate-probe")
