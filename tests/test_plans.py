@@ -220,3 +220,23 @@ def test_registry_fallback_root_is_repo_root():
         )
     finally:
         os.chdir(cwd)
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """text_decontaminate_ngrams: the eval-slice shingles must broadcast so
+    the corpus side stays map-only (no corpus-wide shuffle for the
+    semi-join), and nothing degenerates to sort-merge or cartesian."""
+    df = SPECS["text_decontaminate_ngrams"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """pipeline_pack_sequences: the running-sum window and the bin agg must
+    share the one (lang, shard) exchange — a second shuffle would mean the
+    agg key dropped the stream key."""
+    df = SPECS["pipeline_pack_sequences"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
