@@ -513,3 +513,34 @@ def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("first_ms"),
         F.max("ts_ms").alias("last_ms"),
     )
+
+
+@register(
+    "src_parquet_zstd_roundtrip",
+    "sources",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrip: orders rewritten as zstd parquet (the
+    de-facto 100 TB lake codec — ~30% smaller than the snappy default at
+    comparable scan speed), re-read with an order-date predicate and
+    aggregated.  Codec choice must change storage bytes only: pushdown,
+    row-group stat skipping, and every value survive identically, which
+    the oracle proves by reading the ORIGINAL snappy parquet.  The date
+    filter still prunes on row-group min/max — compression wraps pages,
+    not the stats metadata."""
+    base = scratch_dir("orders_zstd", sf_dir)
+    o = table(prep(spark), sf_dir, "orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o.write.mode("overwrite").option("compression", "zstd").parquet(base)
+    back = spark.read.parquet(base).where(F.col("o_orderdate") >= "1997-01-01")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
