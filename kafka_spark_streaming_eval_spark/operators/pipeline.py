@@ -250,3 +250,91 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+MIX_SHARDS = 4  # parallel fill streams per source, each keeps w/4 of itself
+
+
+@register(
+    "pipeline_mix_quota_sample",
+    "pipeline",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS pri,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+               % {MIX_SHARDS} AS shard,
+             CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4 + 1 AS w
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, n_tok, w,
+             sum(n_tok) OVER (PARTITION BY source, shard) * w // 4
+               AS shard_target,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY source, shard ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM docs
+    )
+    SELECT source,
+           count(*) AS n_docs_total,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(n_tok) AS BIGINT) * any_value(w) // 4 AS target_tokens,
+           count(*) FILTER (WHERE start_tok < shard_target) AS n_docs_kept,
+           CAST(coalesce(sum(n_tok) FILTER (WHERE start_tok < shard_target), 0)
+                AS BIGINT) AS tokens_kept
+    FROM placed
+    GROUP BY source
+    """,
+)
+def pipeline_mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing by per-source token quota — the sampler behind
+    pretraining mixture weights ("keep 25/50/75/100% of each source's
+    tokens"): documents fill their quota greedily in md5-priority order,
+    and a doc is kept iff it STARTS inside the quota (same straddle rule
+    as ``pipeline_pack_sequences``).  The fill is stratified over
+    MIX_SHARDS md5-shards — each shard keeps w/4 of ITS OWN tokens — so a
+    100 TB source never serializes through one reducer and a weight-1.0
+    source keeps exactly everything; per-shard kept volume concentrates to
+    the source target as shards grow (same variance argument as hash
+    sampling).  Both window functions (shard total + running start) share
+    one (source, shard) exchange; everything is integer arithmetic, so the
+    kept set and all counts are exact and partitioning-invariant.
+    Output: per-source totals vs kept volume."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    docs = d.select(
+        "source",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        pri.alias("pri"),
+        F.col("doc_id"),
+        (
+            (F.instr(F.lit("0123456789abcdef"), F.substring(pri, 1, 1)) - 1)
+            % MIX_SHARDS
+        ).alias("shard"),
+        (F.regexp_extract("source", "[0-9]+", 0).cast("long") % 4 + 1).alias("w"),
+    )
+    run = (
+        W.partitionBy("source", "shard")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "shard_target",
+        F.expr("sum(n_tok) OVER (PARTITION BY source, shard) * w DIV 4"),
+    ).withColumn("start_tok", F.coalesce(F.sum("n_tok").over(run), F.lit(0)))
+    kept_pred = F.col("start_tok") < F.col("shard_target")
+    return placed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.expr("CAST(sum(n_tok) * any_value(w) DIV 4 AS BIGINT)").alias(
+            "target_tokens"
+        ),
+        F.count(F.when(kept_pred, 1)).alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.when(kept_pred, F.col("n_tok"))), F.lit(0)
+        ).alias("tokens_kept"),
+    )
