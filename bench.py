@@ -105,13 +105,15 @@ def throughput_eps(spark) -> float:
         wire.unpersist()
 
 
-def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 12.0):
+def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     """exp1 methodology, live: rate source at ``rate_eps`` (≈7x the
     reference's saturation point) -> wire JSON -> parse -> fused per-batch
     metrics, 1 s triggers.  First batches are warm-up (BASELINE excluded
-    120 s of a 360 s run; we exclude the first 3 of ~12).  Returns sustained
-    events/s and the mean per-batch p95 end-to-end latency — the two
-    headline numbers of BASELINE exp1."""
+    120 s of a 360 s run; we exclude the first 3 of ~17).  A ~20 s window
+    keeps the mean per-batch p95 stable against ambient load — at 12 s a
+    single slow batch moved the mean by hundreds of ms run-to-run.
+    Returns sustained events/s and the mean per-batch p95 end-to-end
+    latency — the two headline numbers of BASELINE exp1."""
     import shutil
     import tempfile
 
