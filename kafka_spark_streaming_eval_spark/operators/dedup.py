@@ -691,3 +691,107 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-containment dedup
+# ---------------------------------------------------------------------------
+
+PREFIX_BLOCK_TOKENS = 8  # blocking key: first 8 tokens
+PREFIX_PLANT_EVERY = 200  # plant a truncated copy of every 200th doc
+PREFIX_PLANT_TOKENS = 16  # the planted copy keeps the first 16 tokens
+
+
+@register(
+    "dedup_prefix_containment",
+    "dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000,
+             array_to_string(
+               list_slice(string_split(text, ' '), 1, {PREFIX_PLANT_TOKENS}),
+               ' ')
+      FROM documents WHERE doc_id % {PREFIX_PLANT_EVERY} = 0
+    ),
+    blocked AS (
+      SELECT doc_id, text, length(text) AS n,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '), 1, {PREFIX_BLOCK_TOKENS}),
+               ' ')) AS bk
+      FROM corpus
+      WHERE len(string_split(text, ' ')) >= {PREFIX_BLOCK_TOKENS}
+    ),
+    capped AS (
+      SELECT doc_id, text, n, bk FROM (
+        SELECT *, row_number() OVER (PARTITION BY bk ORDER BY n, doc_id) AS rn
+        FROM blocked
+      ) WHERE rn <= {LSH_BUCKET_CAP}
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           a.n AS contained_len, b.n AS container_len
+    FROM capped a JOIN capped b
+      ON a.bk = b.bk AND a.n < b.n
+     AND starts_with(b.text, a.text || ' ')
+    """,
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-prefix containment dedup: find documents that are a strict
+    prefix of a longer document (truncated re-crawls, feed snippets vs full
+    articles — a common pretraining near-dup class that MinHash misses when
+    the container is much longer than the contained doc, since Jaccard
+    dilutes with the length ratio).
+
+    To prove the positive path on the synthetic corpus, every
+    {PREFIX_PLANT_EVERY}th document plants a deterministic truncated copy
+    (first {PREFIX_PLANT_TOKENS} tokens, doc_id + 10M) — both engines plant
+    identically.
+
+    Plan shape for 100 TB: block on md5(first {PREFIX_BLOCK_TOKENS} tokens)
+    — a prefix of the contained doc IS a prefix of its container, so any
+    containment pair shares a block key and blocking has NO recall loss
+    (unlike length-band blocking).  The join is hash-equality on the 32-char
+    block key; bucket membership is capped at {LSH_BUCKET_CAP} (shortest
+    first, so contained docs survive the cap) bounding degenerate blocks at
+    C(cap,2).  Verification is a char-level ``startswith(container,
+    contained || ' ')`` — the space suffix enforces a token boundary."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    planted = (
+        d.where(F.col("doc_id") % PREFIX_PLANT_EVERY == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 1, PREFIX_PLANT_TOKENS)).alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    blocked = corpus.where(F.size(F.split("text", " ")) >= PREFIX_BLOCK_TOKENS).select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, PREFIX_BLOCK_TOKENS))
+        ).alias("bk"),
+    )
+    bucket_w = W.partitionBy("bk").orderBy("n", "doc_id")
+    capped = (
+        blocked.withColumn("rn", F.row_number().over(bucket_w))
+        .where(F.col("rn") <= LSH_BUCKET_CAP)
+        .drop("rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.n") < F.col("b.n"))
+            & F.col("b.text").startswith(F.concat(F.col("a.text"), F.lit(" "))),
+        )
+        .select(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("b.doc_id").alias("container_id"),
+            F.col("a.n").alias("contained_len"),
+            F.col("b.n").alias("container_len"),
+        )
+    )

@@ -608,3 +608,139 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("in_ann_top3", F.lit(False)).alias("in_ann_top3"),
         )
     )
+
+
+@register(
+    "sim_centroid_confusion",
+    "similarity",
+    oracle="""
+    WITH dims AS (
+      SELECT unnest(generate_series(
+        1, (SELECT max(len(embedding)) FROM embeddings))) AS i
+    ),
+    ex AS (
+      SELECT e.vec_id, e.label, d.i AS dim,
+             CAST(e.embedding[d.i] AS DOUBLE) AS x
+      FROM embeddings e, dims d
+      WHERE d.i <= len(e.embedding)
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(sum(CAST(floor(x * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               / count(*) AS c
+      FROM ex GROUP BY label, dim
+    ),
+    cnorm AS (
+      SELECT label,
+             sqrt(CAST(sum(CAST(floor(c * c * 1e12) AS BIGINT)) AS DOUBLE)
+                  / 1e12) AS cn
+      FROM cent GROUP BY label
+    ),
+    vnorm AS (
+      SELECT vec_id,
+             sqrt(CAST(sum(CAST(floor(x * x * 1e12) AS BIGINT)) AS DOUBLE)
+                  / 1e12) AS vn
+      FROM ex GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT ex.vec_id, cent.label AS cand_label,
+             CAST(sum(CAST(floor(ex.x * cent.c * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS dp
+      FROM ex JOIN cent ON ex.dim = cent.dim
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.vec_id, d.cand_label,
+             round(d.dp / (v.vn * c.cn), 6) AS cos
+      FROM dots d
+      JOIN vnorm v USING (vec_id)
+      JOIN cnorm c ON d.cand_label = c.label
+    ),
+    pred AS (
+      SELECT vec_id, cand_label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, cand_label) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT e.label AS true_label, p.pred_label, count(*) AS n_vectors
+    FROM embeddings e JOIN pred p USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix — the embedding-space clustering
+    diagnostic a labeling/curation pipeline runs to see which classes blur
+    together (high off-diagonal mass => the labels aren't separable in this
+    embedding and a near-dup or mixing decision keyed on them is unsafe).
+
+    Determinism across engines and cluster layouts: every cross-row float
+    SUM is quantized first (``floor(term * 1e9 or 1e12)`` to BIGINT — exact,
+    associative, order-independent), so centroids, norms, and dot products
+    are bit-identical however partitions merge; cosines are rounded to 6 dp
+    before the argmax and tie-broken on label.
+
+    Plan shape for 100 TB: one explode of the corpus (linear), centroid
+    build is a (label, dim) groupBy -> ~|labels| x 64 rows, BROADCAST back
+    against the exploded corpus (map-only join on dim), then one
+    (vec_id, label) partial-agg shuffle and a per-vector argmax window.  No
+    vector ever all-pairs with another vector — O(n x labels), not O(n^2)."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1e9)).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("c") * F.col("c") * 1e12)).cast("double") / F.lit(1e12)
+        ).alias("cn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(F.floor(F.col("x") * F.col("x") * 1e12)).cast("double") / F.lit(1e12)
+        ).alias("vn")
+    )
+    dots = (
+        ex.join(F.broadcast(cent.withColumnRenamed("label", "cand_label")), "dim")
+        .groupBy("vec_id", "cand_label")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * F.col("c") * 1e12)).cast("double")
+                / F.lit(1e12)
+            ).alias("dp")
+        )
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm.withColumnRenamed("label", "cand_label")), "cand_label")
+        .select(
+            "vec_id",
+            "cand_label",
+            F.round(F.col("dp") / (F.col("vn") * F.col("cn")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cand_label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cand_label").alias("pred_label"))
+    )
+    return (
+        e.select("vec_id", F.col("label").alias("true_label"))
+        .join(pred, "vec_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

@@ -589,3 +589,134 @@ def text_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+VOCAB_GROWTH_BINS = 10
+
+
+@register(
+    "text_vocab_growth",
+    "text",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    first_seen AS (
+      SELECT t, min(doc_id) AS fd FROM tok WHERE t <> '' GROUP BY t
+    ),
+    mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    binned AS (
+      SELECT (fd * {VOCAB_GROWTH_BINS}) // m AS bin, count(*) AS new_tokens
+      FROM first_seen, mx GROUP BY 1
+    )
+    SELECT bin, new_tokens,
+           CAST(sum(new_tokens) OVER (
+             ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_vocab
+    FROM binned
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct token count
+    as the corpus is consumed in doc_id order, reported at
+    {VOCAB_GROWTH_BINS} equal-width corpus checkpoints.  Curation teams use
+    the curve's slope to detect when a source stops contributing novel
+    vocabulary (diminishing returns for continued crawling).
+
+    Computed without any ordered scan: a token's contribution point is
+    simply min(doc_id) over its occurrences, so the curve reduces to
+    (1) one groupBy token -> first-seen doc (the standard inverted-index
+    shuffle, linear in corpus size), (2) integer binning against the 1-row
+    broadcast max-doc bound, (3) a {VOCAB_GROWTH_BINS}-row running sum.
+    All-integer arithmetic -> bit-identical across engines and cluster
+    layouts."""
+    d = _docs(spark, sf_dir)
+    first_seen = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    binned = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .select(F.expr(f"(fd * {VOCAB_GROWTH_BINS}) div m").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return binned.select(
+        "bin", "new_tokens", F.sum("new_tokens").over(w).alias("cum_vocab")
+    )
+
+
+@register(
+    "text_source_vocab_overlap",
+    "text",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, t FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+      ) WHERE t <> ''
+    ),
+    sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_inter, za.n AS n_a, zb.n AS n_b,
+           round(i.n_inter / CAST(za.n + zb.n - i.n_inter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON i.src_a = za.source
+    JOIN sz zb ON i.src_b = zb.source
+    """,
+)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the source-level
+    diversity diagnostic a mixing pipeline runs before setting sampling
+    quotas (two sources with ~1.0 vocab overlap are near-redundant; a
+    low-overlap source adds coverage).
+
+    Plan shape: the corpus collapses to distinct (source, token) FIRST (one
+    explode + one groupBy, linear), so the token-equality self-join runs on
+    the vocabulary table — |vocab| x |sources| rows, millions not billions
+    at 100 TB — never on the corpus.  Output is C(n_sources, 2) rows."""
+    d = _docs(spark, sf_dir)
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -119,3 +119,89 @@ def test_repetition_ratio_planted(spark, tmp_path):
     assert out[1].max_repeat == 3 and out[1].dup_fraction > 0
     assert out[2].max_repeat == 1 and out[2].dup_fraction == 0.0
     assert out[3].n_shingles == 0 and out[3].dup_fraction == 0.0
+
+
+def test_prefix_containment_planted(spark, tmp_path):
+    """A strict token-prefix doc must pair with its container; a doc that
+    diverges inside the 8-token block key must not."""
+    base = "a b c d e f g h i j k l"  # 12 tokens
+    rows = [
+        (1, "a b c d e f g h", "en", "src0"),         # 8-token strict prefix
+        (2, base, "en", "src0"),                      # container
+        (3, "a b c d e f g X i j k l", "en", "src0"), # 8th token differs
+        (4, "a b c d e f g hh", "en", "src0"),        # char-prefix but not token-prefix
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = SPECS["dedup_prefix_containment"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.contained_id, r.container_id) for r in out}
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_vocab_growth_conservation(spark, tmp_path):
+    """new_tokens sums to the distinct vocabulary; cum_vocab is its running
+    total; every bin index is within [0, VOCAB_GROWTH_BINS)."""
+    from kafka_spark_streaming_eval_spark.operators.text import VOCAB_GROWTH_BINS
+
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(5)) + " shared", "en", "src0")
+        for i in range(20)
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = sorted(
+        SPECS["text_vocab_growth"].fn(spark, str(tmp_path)).collect(),
+        key=lambda r: r.bin,
+    )
+    vocab = 20 * 5 + 1  # 5 unique tokens per doc + one shared token
+    assert sum(r.new_tokens for r in out) == vocab
+    assert out[-1].cum_vocab == vocab
+    assert all(0 <= r.bin < VOCAB_GROWTH_BINS for r in out)
+    running = 0
+    for r in out:
+        running += r.new_tokens
+        assert r.cum_vocab == running
+
+
+def test_source_vocab_overlap_planted(spark, tmp_path):
+    """Identical-vocab sources score jaccard 1.0; disjoint sources emit no
+    intersection row at all (inner join on shared tokens)."""
+    rows = [
+        (1, "x y z", "en", "srcA"),
+        (2, "x y z", "en", "srcB"),
+        (3, "p q r", "en", "srcC"),
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = SPECS["text_source_vocab_overlap"].fn(spark, str(tmp_path)).collect()
+    rows_by_pair = {(r.src_a, r.src_b): r for r in out}
+    assert rows_by_pair[("srcA", "srcB")].jaccard == 1.0
+    assert all("srcC" not in pair for pair in rows_by_pair)
+
+
+def test_centroid_confusion_separable(spark, tmp_path):
+    """Two well-separated clusters: the confusion matrix is purely diagonal
+    and accounts for every vector."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs, labels = [], []
+    for i in range(20):
+        lab = i % 2
+        # label 0 along +e0, label 1 along +e1, tiny deterministic jitter
+        v = [0.0] * 8
+        v[lab] = 1.0
+        v[7] = 0.01 * (i % 5)
+        vecs.append(v)
+        labels.append(lab)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(20), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": pa.array(labels, type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = SPECS["sim_centroid_confusion"].fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_vectors for r in out) == 20
+    assert all(r.true_label == r.pred_label for r in out)
