@@ -69,6 +69,10 @@ HEADLINE = [
     "timeseries_resample_ohlc",
     "window_streak_islands",
     "etl_quality_audit",
+    "dedup_prefix_containment",
+    "text_vocab_growth",
+    "text_source_vocab_overlap",
+    "sim_centroid_confusion",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000
