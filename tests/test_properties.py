@@ -244,3 +244,154 @@ def test_comparator_rejects_collection_cells(spark, ducks):
         assert_driver_hashable_schema(df, "gate-probe")
     with _pytest.raises(AssertionError):
         assert_matches_oracle(df, ducks, "SELECT 0 AS id, [1, 2] AS arr", "gate-probe")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=8, max_size=14
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+)
+def test_prefix_containment_matches_bruteforce(sp, tmp_path_factory, docs):
+    """Operator output == the O(n^2) brute-force spec on random corpora
+    small enough that the bucket cap never binds (blocking must be
+    lossless for containment, so the capped blocked join finds exactly
+    the brute-force pairs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.operators.dedup import (
+        PREFIX_PLANT_EVERY,
+        PREFIX_PLANT_TOKENS,
+    )
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("pc")
+    rows = [(i + 1, " ".join(toks)) for i, toks in enumerate(docs)]  # ids >= 1
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    # Brute-force spec, including the operator's own planting rule.
+    corpus = list(rows)
+    for doc_id, text in rows:
+        if doc_id % PREFIX_PLANT_EVERY == 0:
+            corpus.append(
+                (doc_id + 10000000, " ".join(text.split(" ")[:PREFIX_PLANT_TOKENS]))
+            )
+    eligible = [(i, t) for i, t in corpus if len(t.split(" ")) >= 8]
+    expected = {
+        (ia, ib)
+        for ia, ta in eligible
+        for ib, tb in eligible
+        if len(ta) < len(tb) and tb.startswith(ta + " ")
+    }
+    out = all_queries()["dedup_prefix_containment"].fn(sp, str(d)).collect()
+    got = {(r.contained_id, r.container_id) for r in out}
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=6),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_vocab_growth_matches_python_spec(sp, tmp_path_factory, docs):
+    """Bin placement and cumulative totals equal a pure-Python first-seen
+    computation for any corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.operators.text import VOCAB_GROWTH_BINS
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("vg")
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    first = {}
+    for doc_id, text in rows:
+        for t in text.split(" "):
+            if t and (t not in first or doc_id < first[t]):
+                first[t] = doc_id
+    m = max(r[0] for r in rows) + 1
+    bins = {}
+    for fd in first.values():
+        bins[fd * VOCAB_GROWTH_BINS // m] = bins.get(fd * VOCAB_GROWTH_BINS // m, 0) + 1
+    out = sorted(
+        all_queries()["text_vocab_growth"].fn(sp, str(d)).collect(),
+        key=lambda r: r.bin,
+    )
+    assert {r.bin: r.new_tokens for r in out} == bins
+    assert out[-1].cum_vocab == len(first)
+
+
+def test_centroid_confusion_partition_invariant(spark, tmp_path):
+    """The confusion matrix is bit-identical however the embeddings table
+    is partitioned (the quantized-BIGINT sum property)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    vecs = [
+        [((i * 7 + j * 13) % 29 - 14) / 7.0 for j in range(16)] for i in range(60)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(60), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in range(60)], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    fn = all_queries()["sim_centroid_confusion"].fn
+    base = sorted(
+        (r.true_label, r.pred_label, r.n_vectors)
+        for r in fn(spark, str(tmp_path)).collect()
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = sorted(
+            (r.true_label, r.pred_label, r.n_vectors)
+            for r in fn(spark, str(tmp_path)).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == alt and sum(n for _, _, n in base) == 60
