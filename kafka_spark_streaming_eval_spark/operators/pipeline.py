@@ -338,3 +338,72 @@ def pipeline_mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept_pred, F.col("n_tok"))), F.lit(0)
         ).alias("tokens_kept"),
     )
+
+
+# train/val/test shares in percent; md5 bucket 0-255 mod 100 drives placement
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5
+
+
+@register(
+    "pipeline_stratified_split",
+    "pipeline",
+    oracle=f"""
+    WITH placed AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+             ) % 100 AS b
+      FROM documents
+    )
+    SELECT source, lang,
+           CASE WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN b < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM placed
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SPLIT_TRAIN_PCT}/{SPLIT_VAL_PCT}/rest train/val/test
+    split, reported per (source, lang) stratum.  Placement is a pure
+    function of md5(doc_id) — each document lands in exactly ONE split on
+    every engine, every run, every cluster layout, so splits can never leak
+    into each other (the property ``df.randomSplit`` does NOT give you: its
+    per-partition RNG reassigns rows whenever the layout changes).
+
+    Plan shape: map-only hash + one (source, lang, split) aggregation;
+    nothing about the split requires a global shuffle of the corpus, so at
+    100 TB the split IS the projection — downstream jobs filter on the same
+    deterministic expression instead of materializing three copies."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    hexes = F.lit("0123456789abcdef")
+    b = (
+        (F.instr(hexes, F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(hexes, F.substring(h, 2, 1)) - 1)
+    ) % 100
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            "source",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tok"),
+            split.alias("split"),
+        )
+        .groupBy("source", "lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

@@ -2411,3 +2411,41 @@ def scalar_interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(d, (F.col("o_orderkey") % 30).cast("int")), "yyyy-MM-dd"
         ).alias("dynamic_shift"),
     )
+
+
+SAMPLE_K_PER_GROUP = 5
+
+
+@register(
+    "sample_k_per_group",
+    "relational",
+    oracle=f"""
+    SELECT source, doc_id, smp_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS smp_rank
+      FROM documents
+    ) WHERE smp_rank <= {SAMPLE_K_PER_GROUP}
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: the {SAMPLE_K_PER_GROUP} documents
+    with the smallest md5(doc_id) in each source — the "show me K random
+    docs from every source" primitive for eyeballing corpus quality, stable
+    across engines and re-runs (a seeded ``sample()`` is not: its
+    per-partition RNG reassigns rows whenever the layout changes).
+
+    Scale: the rank<=k filter is pushed INTO the window operator by Spark's
+    WindowGroupLimit rule (asserted in tests/test_plans.py), so each
+    partition keeps a k-row heap per group instead of sorting its full
+    partition — the corpus shuffles once on source, never globally sorts."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("source", "doc_id")
+        .withColumn("smp_rank", F.row_number().over(w))
+        .where(F.col("smp_rank") <= SAMPLE_K_PER_GROUP)
+    )

@@ -240,3 +240,23 @@ def test_pack_sequences_single_exchange(spark):
     df = SPECS["pipeline_pack_sequences"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_sample_k_per_group_window_group_limit(spark):
+    """sample_k_per_group: the rank<=k filter must push into the window as
+    a WindowGroupLimit (per-partition k-row heap per group), so no
+    partition ever fully sorts — the property that keeps a per-group
+    sample linear at 100 TB."""
+    df = SPECS["sample_k_per_group"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_split_map_only_before_agg(spark):
+    """pipeline_stratified_split: placement is a pure projection — the only
+    exchange is the final (source, lang, split) aggregation."""
+    df = SPECS["pipeline_stratified_split"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan

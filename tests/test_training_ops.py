@@ -205,3 +205,55 @@ def test_centroid_confusion_separable(spark, tmp_path):
     out = SPECS["sim_centroid_confusion"].fn(spark, str(tmp_path)).collect()
     assert sum(r.n_vectors for r in out) == 20
     assert all(r.true_label == r.pred_label for r in out)
+
+
+def test_stratified_split_partitions_corpus(spark, tmp_path):
+    """Every document lands in exactly one split (counts conserve), and
+    placement is identical under a different shuffle layout."""
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(4)), "en", f"src{i % 3}")
+        for i in range(60)
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    fn = SPECS["pipeline_stratified_split"].fn
+    out = fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in out) == 60
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = fn(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    key = lambda r: (r.source, r.lang, r.split, r.n_docs, r.n_tokens)
+    assert sorted(map(key, out)) == sorted(map(key, alt))
+
+
+def test_sample_k_per_group_bounds_and_determinism(spark, tmp_path):
+    """At most K docs per group, ranks contiguous from 1, and the kept set
+    is identical under a different shuffle layout."""
+    from kafka_spark_streaming_eval_spark.operators.relational import (
+        SAMPLE_K_PER_GROUP,
+    )
+
+    rows = [
+        (i, f"doc {i}", "en", f"src{i % 4}") for i in range(40)
+    ] + [(100, "lone doc", "en", "srcLone")]  # group smaller than K
+    _write_docs(tmp_path / "documents.parquet", rows)
+    fn = SPECS["sample_k_per_group"].fn
+    out = fn(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.smp_rank)
+    for src, ranks in by_src.items():
+        assert len(ranks) <= SAMPLE_K_PER_GROUP
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert by_src["srcLone"] == [1]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        alt = fn(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    key = lambda r: (r.source, r.doc_id, r.smp_rank)
+    assert sorted(map(key, out)) == sorted(map(key, alt))
