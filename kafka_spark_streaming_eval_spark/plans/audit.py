@@ -25,6 +25,7 @@ _EXEC_ON_BUILD = {
     "stream_stateful_running_count",
     "stream_python_datasource_source",
     "stream_stream_left_outer_join",
+    "stream_foreachbatch_merge_upsert",
 }
 
 

@@ -582,3 +582,113 @@ def stream_python_datasource_source(spark: SparkSession, sf_dir: str) -> DataFra
         q.stop()
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_foreachbatch_merge_upsert",
+    "streaming",
+    oracle=f"""
+    WITH e AS (SELECT user_id, ts, event_id, value FROM {_EV}),
+    ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_events, epoch_ms(max(ts)) AS last_ts_ms
+      FROM e GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_events, a.last_ts_ms, r.value AS last_value
+    FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+    """,
+)
+def stream_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert into a serving table via ``foreachBatch`` — the
+    production pattern for maintaining per-key state (latest event + running
+    count per user) in a table a downstream service reads, when the sink has
+    no native streaming MERGE.  The events file is staged as 4 splits with
+    ``maxFilesPerTrigger=1``, so the merge genuinely runs once per
+    micro-batch: each batch pre-aggregates per user (count + max
+    (ts, event_id, value) struct — an argmax that is total-ordered, so batch
+    boundaries can never flip it), full-outer-joins the running target, and
+    writes the next target version.  The final table equals the one-shot
+    batch aggregation whatever the batch split — the merge is associative by
+    construction (counts add, struct-max is commutative).
+
+    Scale: per-batch work is one keyed agg + one key-equality join against a
+    target partitioned the same way; nothing global, no driver state beyond
+    the current-version pointer (exactly the checkpointable pattern Delta's
+    ``MERGE INTO`` runs under foreachBatch)."""
+    import os
+
+    import pyarrow.parquet as pa_pq
+
+    from kafka_spark_streaming_eval_spark.session import scratch_dir
+
+    prep(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    d = scratch_dir("stream_merge_src", sf_dir, _src_fingerprint(src))
+    if not os.path.exists(os.path.join(d, "_READY")):
+        os.makedirs(d, exist_ok=True)
+        t = pa_pq.read_table(src)
+        step = (t.num_rows + 3) // 4
+        for i in range(4):
+            pa_pq.write_table(
+                t.slice(i * step, step), os.path.join(d, f"part_{i}.parquet")
+            )
+        open(os.path.join(d, "_READY"), "w").close()
+    schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    ev = events_ts_ms(raw, long_divisor=events_long_ts_divisor(src))
+    run_id = next(_name_counter)
+    tgt_root = scratch_dir("stream_merge_tgt", sf_dir, str(run_id))
+    ckpt = scratch_dir("stream_merge_ckpt", sf_dir, str(run_id))
+    state = {"cur": None}
+
+    def merge(batch_df, batch_id):
+        b = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "value")).alias("last"),
+        )
+        if state["cur"] is not None:
+            cur = batch_df.sparkSession.read.parquet(state["cur"])
+            b = (
+                cur.alias("c")
+                .join(b.alias("n"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("c.n_events"), F.lit(0))
+                        + F.coalesce(F.col("n.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    F.greatest(F.col("c.last"), F.col("n.last")).alias("last"),
+                )
+            )
+        nxt = os.path.join(tgt_root, f"v{batch_id}")
+        b.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    final = spark.read.parquet(state["cur"])
+    return final.select(
+        "user_id",
+        "n_events",
+        F.unix_millis(F.col("last.ts")).alias("last_ts_ms"),
+        F.col("last.value").alias("last_value"),
+    )
