@@ -2449,3 +2449,129 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("smp_rank", F.row_number().over(w))
         .where(F.col("smp_rank") <= SAMPLE_K_PER_GROUP)
     )
+
+
+@register(
+    "agg_funnel_conversion",
+    "relational",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, ts FROM {_EV}),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_full_funnel,
+           round((SELECT count(*) FROM s2)
+                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS r_click,
+           round((SELECT count(*) FROM s3)
+                 / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS r_purchase
+    """,
+)
+def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked strictly
+    AFTER their first view, then purchased strictly after that click —
+    the event-sequence conversion query every product-analytics engine
+    ships.  Sequencing is per-user min-timestamp chaining (three keyed
+    aggs + two user_id hash joins carrying a range post-filter), NOT a
+    per-user sort or UDF — so at 100 TB each stage is one shuffle on
+    user_id and the stage tables shrink monotonically down the funnel.
+    Strict inequalities on ms-truncated timestamps keep both engines'
+    stage sets identical."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        c1.crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_view",
+            "n_view_click",
+            "n_full_funnel",
+            F.round(
+                F.col("n_view_click") / F.col("n_view").cast("double"), 6
+            ).alias("r_click"),
+            F.round(
+                F.col("n_full_funnel") / F.col("n_view_click").cast("double"), 6
+            ).alias("r_purchase"),
+        )
+    )
+
+
+@register(
+    "agg_cohort_retention",
+    "relational",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM {_EV}
+    ),
+    cohorts AS (
+      SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           date_diff('day', c.cohort_week, wk.w) // 7 AS week_offset,
+           count(*) AS n_active
+    FROM wk JOIN cohorts c ON wk.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, then
+    counted in each subsequent week they were active — the triangle chart
+    behind every retention dashboard.  Activity first collapses to
+    distinct (user, week) — the only corpus-sized shuffle — then one small
+    join against the per-user cohort table; week offsets are exact integer
+    day-diffs / 7 (both weeks are Monday-truncated, so the division is
+    always whole).  Count is per (user, week) rows, which the distinct
+    step has already made unique per user."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    cohorts = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -257,3 +257,71 @@ def test_sample_k_per_group_bounds_and_determinism(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     key = lambda r: (r.source, r.doc_id, r.smp_rank)
     assert sorted(map(key, out)) == sorted(map(key, alt))
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts_iso, user_id, event_type, value)."""
+    import datetime
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime.fromisoformat(r[1]) for r in rows],
+                    type=pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([float(r[4]) for r in rows], type=pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(path),
+    )
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    """A click BEFORE the first view must not advance the funnel; a
+    correctly ordered user converts end-to-end."""
+    rows = [
+        # user 1: view -> click -> purchase, strictly ordered => full funnel
+        (1, "2024-01-01T10:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T11:00:00", 1, "click", 1.0),
+        (3, "2024-01-01T12:00:00", 1, "purchase", 1.0),
+        # user 2: click precedes its only view => stops at stage 1
+        (4, "2024-01-02T09:00:00", 2, "click", 1.0),
+        (5, "2024-01-02T10:00:00", 2, "view", 1.0),
+        (6, "2024-01-02T11:00:00", 2, "purchase", 1.0),
+        # user 3: view then purchase but no click => stops at stage 1
+        (7, "2024-01-03T09:00:00", 3, "view", 1.0),
+        (8, "2024-01-03T10:00:00", 3, "purchase", 1.0),
+        # user 4: never views => not in the funnel at all
+        (9, "2024-01-04T09:00:00", 4, "click", 1.0),
+    ]
+    _write_events(tmp_path / "events.parquet", rows)
+    r = SPECS["agg_funnel_conversion"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r.n_view, r.n_view_click, r.n_full_funnel) == (3, 1, 1)
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """Cohort week = first-activity week; later activity lands at the right
+    whole-week offset; per-user-week activity counts once."""
+    rows = [
+        # user 1 first active Mon 2024-01-01 week, again twice in wk+2
+        (1, "2024-01-02T10:00:00", 1, "view", 1.0),
+        (2, "2024-01-16T10:00:00", 1, "click", 1.0),
+        (3, "2024-01-17T10:00:00", 1, "view", 1.0),
+        # user 2 only active in the 2024-01-08 week
+        (4, "2024-01-10T10:00:00", 2, "view", 1.0),
+    ]
+    _write_events(tmp_path / "events.parquet", rows)
+    out = SPECS["agg_cohort_retention"].fn(spark, str(tmp_path)).collect()
+    got = {
+        (r.cohort_week.date().isoformat(), r.week_offset): r.n_active for r in out
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
