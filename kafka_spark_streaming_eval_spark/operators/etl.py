@@ -259,3 +259,110 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register(
+    "etl_snapshot_diff",
+    "etl",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    v2 AS (  -- deterministic synthetic next snapshot:
+      --   drop keys % 97 == 0, re-price keys % 11 == 0, append key+5e9 clones
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN round(o_totalprice * 1.05, 2) ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 5000000000, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    h1 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR),
+                           o_orderpriority)) AS h
+      FROM v1
+    ),
+    h2 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR),
+                           o_orderpriority)) AS h
+      FROM v2
+    ),
+    tagged AS (
+      SELECT CASE WHEN h1.k IS NULL THEN 'added'
+                  WHEN h2.k IS NULL THEN 'deleted'
+                  WHEN h1.h <> h2.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM h1 FULL OUTER JOIN h2 ON h1.k = h2.k
+    )
+    SELECT change, count(*) AS n_rows FROM tagged GROUP BY change
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the added/deleted/changed/unchanged audit between two
+    versions of a table, the check a pipeline runs before promoting a new
+    dataset version.  The next snapshot is synthesized deterministically
+    (drop every 97th key, re-price every 11th, clone every 13th under a new
+    key) so both engines diff identical inputs.
+
+    Scale shape: each side collapses to (key, md5(row-content)) FIRST — the
+    full-outer join then moves 16-byte hashes, not rows, and row-content
+    comparison is one string equality.  The cast-to-VARCHAR of the price is
+    locale-free in both engines (DuckDB and Spark print DECIMAL(15,2)
+    identically), and the diff itself is the one unavoidable co-shuffle on
+    the key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 11 == 0,
+                F.round(F.col("o_totalprice") * 1.05, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 5000000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+
+    def hashed(df):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    "o_orderstatus",
+                    F.col("o_totalprice").cast("string"),
+                    "o_orderpriority",
+                )
+            ).alias("h"),
+        )
+
+    h1, h2 = hashed(o).alias("h1"), hashed(v2).alias("h2")
+    tagged = h1.join(h2, F.col("h1.k") == F.col("h2.k"), "full_outer").select(
+        F.when(F.col("h1.k").isNull(), F.lit("added"))
+        .when(F.col("h2.k").isNull(), F.lit("deleted"))
+        .when(F.col("h1.h") != F.col("h2.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change")
+    )
+    return tagged.groupBy("change").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -342,3 +342,84 @@ def obs_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_large"], m["total_price"], m["first_order_ms"])],
         "n_rows bigint, n_large bigint, total_price double, first_order_ms bigint",
     )
+
+
+# Benford expected first-digit shares, log10(1 + 1/d) pre-rounded to 6 dp so
+# neither engine's libm log10 enters the comparison.
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@register(
+    "quality_benford_audit",
+    "quality",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ),
+    total AS (SELECT sum(n) AS t FROM counts),
+    expected (digit, exp_share) AS (
+      VALUES {", ".join(f"({d}, {s})" for d, s in sorted(_BENFORD.items()))}
+    )
+    SELECT e.digit,
+           coalesce(c.n, 0) AS n,
+           round(coalesce(c.n, 0) / CAST(t.t AS DOUBLE), 6) AS obs_share,
+           e.exp_share,
+           round(abs(coalesce(c.n, 0) / CAST(t.t AS DOUBLE) - e.exp_share), 6)
+             AS abs_dev
+    FROM expected e
+    LEFT JOIN counts c ON e.digit = c.digit
+    CROSS JOIN total t
+    """,
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the forensic
+    data-quality check for fabricated or truncated numeric columns (a
+    synthetic uniform price column deviates wildly from Benford; a natural
+    multiplicative one doesn't — either way the DEVIATION per digit is the
+    artifact reviewers read).  First digits come from the DECIMAL's string
+    form (both engines print DECIMAL(15,2) identically), never from
+    log10 — so no libm enters the comparison; expected shares are 6-dp
+    literals for the same reason.  One scan, one 9-group aggregation, a
+    broadcast of the 9-row expectation table: trivially 100 TB-safe."""
+    prep(spark)
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    counts = (
+        o.select(
+            F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    expected = spark.createDataFrame(
+        sorted(_BENFORD.items()), "digit long, exp_share double"
+    )
+    return (
+        expected.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("t").cast("double"), 6
+            ).alias("obs_share"),
+            "exp_share",
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)) / F.col("t").cast("double")
+                    - F.col("exp_share")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
