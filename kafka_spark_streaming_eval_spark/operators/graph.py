@@ -241,6 +241,61 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("node", F.col("dist").alias("hops"))
 
 
+def triangle_counts(und_any: DataFrame) -> DataFrame:
+    """Per-node triangle participation for an edge DataFrame with columns
+    (src, dst) — direction/duplicates/self-loops tolerated.  See
+    ``graph_triangle_count`` for the orientation argument; factored out so
+    property tests can drive it with arbitrary planted graphs."""
+    und = (
+        und_any.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
+        )
+    )
+    # Materialize the oriented edge list once: it feeds three join branches
+    # (both wedge sides + the closure probe) and Spark would otherwise
+    # replay the upstream edge build per branch — 3 corpus scans instead of 1.
+    oriented = oriented.localCheckpoint(eager=True)
+    w1 = oriented.select(F.col("x"), F.col("y").alias("y1"))
+    w2 = oriented.select(F.col("x"), F.col("y").alias("y2"))
+    wedges = w1.join(w2, "x").where(F.col("y1") < F.col("y2"))
+    # wedge (x; y1<y2) closes iff the UNORDERED pair (y1, y2) is an edge;
+    # canonicalizing the closure side keeps this a hashable equi-join (an
+    # OR-of-orientations predicate would degenerate to nested-loop).
+    closure = oriented.select(
+        F.least("x", "y").alias("y1"), F.greatest("x", "y").alias("y2")
+    )
+    tri = wedges.join(closure, ["y1", "y2"]).select(
+        F.col("x").alias("n1"), F.col("y1").alias("n2"), F.col("y2").alias("n3")
+    )
+    corners = (
+        tri.select(F.col("n1").alias("node"))
+        .unionAll(tri.select(F.col("n2").alias("node")))
+        .unionAll(tri.select(F.col("n3").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 @register(
     "graph_triangle_count",
     "graph",
@@ -291,52 +346,4 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded hub degree a naive neighbor self-join hits on skewed graphs.
     Plan: two corpus-sized hash joins (wedge build on the root, closure
     probe on the far edge), everything keyed, no cartesian."""
-    base = trade_edges(spark, sf_dir)
-    und = (
-        base.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        und.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .select(
-            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
-            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
-        )
-    )
-    # Materialize the oriented edge list once: it feeds three join branches
-    # (both wedge sides + the closure probe) and Spark would otherwise
-    # replay the 5-table edge build per branch — 3 corpus scans instead of 1.
-    oriented = oriented.localCheckpoint(eager=True)
-    w1 = oriented.select(F.col("x"), F.col("y").alias("y1"))
-    w2 = oriented.select(F.col("x"), F.col("y").alias("y2"))
-    wedges = w1.join(w2, "x").where(F.col("y1") < F.col("y2"))
-    # wedge (x; y1<y2) closes iff the UNORDERED pair (y1, y2) is an edge;
-    # canonicalizing the closure side keeps this a hashable equi-join (an
-    # OR-of-orientations predicate would degenerate to nested-loop).
-    closure = oriented.select(
-        F.least("x", "y").alias("y1"), F.greatest("x", "y").alias("y2")
-    )
-    tri = wedges.join(closure, ["y1", "y2"]).select(
-        F.col("x").alias("n1"), F.col("y1").alias("n2"), F.col("y2").alias("n3")
-    )
-    corners = (
-        tri.select(F.col("n1").alias("node"))
-        .unionAll(tri.select(F.col("n2").alias("node")))
-        .unionAll(tri.select(F.col("n3").alias("node")))
-    )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return triangle_counts(trade_edges(spark, sf_dir))

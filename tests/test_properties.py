@@ -395,3 +395,43 @@ def test_centroid_confusion_partition_invariant(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == alt and sum(n for _, _, n in base) == 60
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).map(
+            lambda p: (f"n{p[0]}", f"n{p[1]}")
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_triangle_counts_match_bruteforce(sp, edges):
+    """Degree-oriented wedge counting equals the O(n^3) brute force for any
+    directed multigraph input (duplicates and self-loops tolerated)."""
+    import itertools
+
+    from kafka_spark_streaming_eval_spark.operators.graph import triangle_counts
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expected = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            tuple(sorted((a, b))) in und
+            and tuple(sorted((b, c))) in und
+            and tuple(sorted((a, c))) in und
+        ):
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = sp.createDataFrame(
+        [(a, b) for a, b in edges] or [("zz_isolated", "zz_isolated")],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == expected
