@@ -286,3 +286,49 @@ def mm_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_kernel(),
         schema="doc_id long, n_bytes long, byte_max long, byte_xor long",
     )
+
+
+@register(
+    "mm_blob_dedup",
+    "multimodal",
+    oracle="""
+    WITH blobs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- byte-identical re-uploads of every 150th blob under new ids
+      SELECT doc_id + 30000000, text FROM documents WHERE doc_id % 150 = 0
+    ),
+    hashed AS (
+      SELECT doc_id, sha256(text) AS blob_sha FROM blobs
+    )
+    SELECT blob_sha, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM hashed GROUP BY blob_sha
+    HAVING count(*) > 1
+    """,
+)
+def mm_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-blob dedup by sha256 — the asset-level dedup every media
+    lake runs before feature extraction (re-uploads and mirror copies are
+    byte-identical even when filenames differ).  Every 150th blob plants a
+    deterministic re-upload so the positive path is exercised; output is
+    only the duplicated groups (HAVING n > 1) with the canonical keeper.
+    The shuffle key is the 64-hex digest, never the blob: at 100 TB the
+    dedup moves 32 bytes per asset, and the digest itself is computed
+    map-side in one scan."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    planted = d.where(F.col("doc_id") % 150 == 0).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"), "text"
+    )
+    blobs = d.select("doc_id", "text").unionByName(planted)
+    hashed = blobs.select(
+        "doc_id", F.sha2(F.encode("text", "UTF-8"), 256).alias("blob_sha")
+    )
+    return (
+        hashed.groupBy("blob_sha")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )

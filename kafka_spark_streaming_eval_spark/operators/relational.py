@@ -2575,3 +2575,66 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "scalar_url_battery",
+    "relational",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             'https://shop' || (o_orderkey % 5) || '.example.com/orders/'
+               || o_orderkey || '?q=' || replace(o_orderpriority, ' ', '_')
+               || '&page=' || (o_orderkey % 7) || '#s' || (o_orderkey % 3)
+               AS url,
+             'item%20' || o_orderkey || '%20detail' AS enc
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+           regexp_extract(url, '#(.*)$', 1) AS frag,
+           replace(enc, '%20', ' ') AS decoded
+    FROM u
+    """,
+)
+def scalar_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery over deterministically synthesized URLs (every
+    50th order key): ``parse_url`` component extraction — protocol, host,
+    path, single query parameter, fragment — plus percent-decoding, the
+    toolkit behind URL canonicalization / host-level dedup in a crawl
+    pipeline.  The oracle mirrors each component with an anchored regexp
+    (DuckDB has no parse_url), and the decode fixture is %XX-only because
+    Java's decoder also maps '+' to space while RFC-3986 decoders don't —
+    the one URL-toolkit divergence a cross-engine pipeline must pin.
+    Map-only projection; no shuffle at any scale."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("o_orderkey") % 5).cast("string"),
+        F.lit(".example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?q="),
+        F.regexp_replace("o_orderpriority", " ", "_"),
+        F.lit("&page="),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("#s"),
+        (F.col("o_orderkey") % 3).cast("string"),
+    )
+    enc = F.concat(
+        F.lit("item%20"), F.col("o_orderkey").cast("string"), F.lit("%20detail")
+    )
+    w = o.select("o_orderkey", url.alias("url"), enc.alias("enc"))
+    return w.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.parse_url("url", F.lit("REF")).alias("frag"),
+        F.try_url_decode("enc").alias("decoded"),
+    )
