@@ -795,3 +795,134 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n").alias("container_len"),
         )
     )
+
+
+SET_MINHASHES = 12  # signature length for the set-overlap estimator
+
+
+@register(
+    "dedup_minhash_set_overlap",
+    "dedup",
+    oracle=f"""
+    WITH su AS (
+      -- "engaged audience": users with >= 14 events of the type; every user
+      -- touches every type in the synthetic data, so raw sets are identical
+      SELECT event_type, user_id FROM events
+      GROUP BY event_type, user_id HAVING count(*) >= 14
+    ),
+    hashed AS (
+      SELECT event_type, hi.i AS hi,
+             md5(CAST(hi.i AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)) AS h
+      FROM su, (SELECT unnest(generate_series(0, {SET_MINHASHES - 1})) AS i) hi
+    ),
+    sig AS (
+      SELECT event_type, hi, min(h) AS mh FROM hashed GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             round(count(*) FILTER (WHERE a.mh = b.mh)
+                   / CAST({SET_MINHASHES} AS DOUBLE), 6) AS est_jaccard
+      FROM sig a JOIN sig b ON a.hi = b.hi AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT event_type, count(*) AS n FROM su GROUP BY 1),
+    tru AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_inter
+      FROM su a JOIN su b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, e.est_jaccard,
+           round(t.n_inter / CAST(za.n + zb.n - t.n_inter AS DOUBLE), 6)
+             AS true_jaccard,
+           abs(e.est_jaccard
+               - t.n_inter / CAST(za.n + zb.n - t.n_inter AS DOUBLE)) <= 0.35
+             AS within_2se
+    FROM est e
+    JOIN tru t ON e.type_a = t.type_a AND e.type_b = t.type_b
+    JOIN sz za ON e.type_a = za.event_type
+    JOIN sz zb ON e.type_b = zb.event_type
+    """,
+)
+def dedup_minhash_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as a SET-similarity sketch (not document LSH): estimate the
+    Jaccard overlap of the audience (user set) behind each pair of event
+    types from {SET_MINHASHES}-hash signatures, and audit the estimate
+    against the exact Jaccard.  The audience is the users with >= 14
+    events of the type (the raw sets are all-users-by-construction in the
+    synthetic data and would compare as identical).  This is the sketch a planner uses when the
+    sets are billions of members and exact intersection is a full co-shuffle:
+    signatures are one linear scan + a (type, hash-id) groupBy; comparing
+    ANY pair of sets then costs {SET_MINHASHES} equality checks instead of a
+    join.  The exact-Jaccard side here exists only as the in-query audit
+    (`within_2se`, ±2 standard errors); both sides are md5-deterministic so
+    every value hash-matches cross-engine."""
+    prep(spark)
+    su = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= 14)
+        .select("event_type", "user_id")
+    )
+    hashed = su.select(
+        "event_type",
+        F.explode(F.array(*[F.lit(i) for i in range(SET_MINHASHES)])).alias("hi"),
+        "user_id",
+    ).select(
+        "event_type",
+        "hi",
+        F.md5(
+            F.concat(
+                F.col("hi").cast("string"),
+                F.lit("_"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    sig = hashed.groupBy("event_type", "hi").agg(F.min("h").alias("mh"))
+    a = sig.select(
+        F.col("event_type").alias("type_a"), "hi", F.col("mh").alias("mh_a")
+    )
+    b = sig.select(
+        F.col("event_type").alias("type_b"), "hi", F.col("mh").alias("mh_b")
+    )
+    est = (
+        a.join(b, "hi")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("long"))
+                / F.lit(float(SET_MINHASHES)),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    sz = su.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = su.select(F.col("event_type").alias("type_a"), "user_id")
+    sb = su.select(F.col("event_type").alias("type_b"), "user_id")
+    tru = (
+        sa.join(sb, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    true_j = F.col("n_inter") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        est.join(tru, ["type_a", "type_b"])
+        .join(F.broadcast(za), "type_a")
+        .join(F.broadcast(zb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "est_jaccard",
+            F.round(true_j, 6).alias("true_jaccard"),
+            (F.abs(F.col("est_jaccard") - true_j) <= 0.35).alias("within_2se"),
+        )
+    )

@@ -2638,3 +2638,112 @@ def scalar_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("REF")).alias("frag"),
         F.try_url_decode("enc").alias("decoded"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    "relational",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT event_type, user_id,
+             min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS first_day
+      FROM {_EV} GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, first_day AS day_n, count(*) AS new_users
+      FROM first_seen GROUP BY 1, 2
+    )
+    SELECT event_type, day_n, new_users,
+           CAST(sum(new_users) OVER (
+             PARTITION BY event_type ORDER BY day_n
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per group over time — "cumulative unique users
+    per event type by day", the window shape SQL cannot express directly
+    (COUNT(DISTINCT) OVER a running frame is unsupported in both engines).
+    The standard O(n) reduction: a user contributes exactly once, on their
+    FIRST day — so cumulative-distinct collapses to min-per-(type, user),
+    a daily new-user count, and a plain running SUM over days.  Two keyed
+    aggs + one tiny window; never a per-day re-scan of history, which is
+    what makes it viable on an unbounded 100 TB event log."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.unix_date(F.col("ts").cast("date"))).alias("first_day")
+    )
+    daily = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day_n")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_n")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_n",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_distinct_users"),
+    )
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    "relational",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n,
+             count(*) AS n
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS days,
+             sum(n) AS s,
+             sum(n * n) AS sq
+      FROM daily GROUP BY event_type
+    )
+    SELECT * FROM (
+      SELECT d.event_type, d.day_n, d.n,
+             round((d.n - CAST(s.s AS DOUBLE) / s.days)
+                   / sqrt(CAST(s.sq AS DOUBLE) / s.days
+                          - (CAST(s.s AS DOUBLE) / s.days)
+                            * (CAST(s.s AS DOUBLE) / s.days)), 6) AS z
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ) WHERE abs(z) > 2
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: days whose event count deviates more than
+    2 population-sigma from that event type's daily mean — the first alarm
+    every pipeline-observability stack implements.  Moments come from exact
+    BIGINT sums (count and count² per day), so mean/σ/z are identical
+    doubles on both engines regardless of partitioning; z is rounded to
+    6 dp before the threshold so a last-ulp wobble can never flip a day in
+    or out of the anomaly set.  Two keyed aggregations and one broadcast
+    join of per-type stats — no window over history, no sort."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.unix_date(F.col("ts").cast("date")).alias("day_n")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("days")
+    z = F.round(
+        (F.col("n") - mean)
+        / F.sqrt(F.col("sq").cast("double") / F.col("days") - mean * mean),
+        6,
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day_n", "n", z.alias("z"))
+        .where(F.abs(F.col("z")) > 2)
+    )
