@@ -2747,3 +2747,69 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day_n", "n", z.alias("z"))
         .where(F.abs(F.col("z")) > 2)
     )
+
+
+@register(
+    "agg_weighted_median",
+    "relational",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag AS grp,
+             l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(38,6)) AS wt
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT grp, v, wt,
+             sum(wt) OVER (PARTITION BY grp ORDER BY v, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             sum(wt) OVER (PARTITION BY grp) AS totw
+      FROM w
+    )
+    SELECT grp AS l_returnflag,
+           min(v) AS weighted_median,
+           CAST(any_value(totw) AS DOUBLE) AS total_weight
+    FROM ranked
+    WHERE cumw * 2 >= totw
+    GROUP BY grp
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median of extended price with quantity as the weight — the
+    importance-sampling / cost-weighted statistic neither engine ships as a
+    built-in aggregate.  Reduction: one running-weight window per group
+    (ordered by value, DECIMAL-exact so the cumulative weights are
+    bit-identical under any partitioning) and the median is the smallest
+    value whose cumulative weight reaches half the group total.  Exactly
+    one sort-shuffle per group key — same cost envelope as any exact
+    quantile — and the ORDER includes the weight as a tiebreaker so equal
+    values cannot reorder between engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(38,6)").alias("wt"),
+    )
+    run = (
+        W.partitionBy("grp")
+        .orderBy("v", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("grp")
+    ranked = li.select(
+        "grp",
+        "v",
+        F.sum("wt").over(run).alias("cumw"),
+        F.sum("wt").over(tot).alias("totw"),
+    )
+    return (
+        ranked.where(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("grp")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.any_value("totw").cast("double").alias("total_weight"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"), "weighted_median", "total_weight"
+        )
+    )
