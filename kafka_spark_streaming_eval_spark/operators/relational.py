@@ -2476,9 +2476,11 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM s2) AS n_view_click,
            (SELECT count(*) FROM s3) AS n_full_funnel,
            round((SELECT count(*) FROM s2)
-                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS r_click,
+                 / CAST(nullif((SELECT count(*) FROM s1), 0) AS DOUBLE), 6)
+             AS r_click,
            round((SELECT count(*) FROM s3)
-                 / CAST((SELECT count(*) FROM s2) AS DOUBLE), 6) AS r_purchase
+                 / CAST(nullif((SELECT count(*) FROM s2), 0) AS DOUBLE), 6)
+             AS r_purchase
     """,
 )
 def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,11 +2523,17 @@ def agg_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_view_click",
             "n_full_funnel",
+            # nullif guards: an empty stage yields NULL on both engines
+            # (bare 0/0 would be NaN in Spark but NULL in DuckDB 1.0)
             F.round(
-                F.col("n_view_click") / F.col("n_view").cast("double"), 6
+                F.col("n_view_click")
+                / F.nullif(F.col("n_view"), F.lit(0)).cast("double"),
+                6,
             ).alias("r_click"),
             F.round(
-                F.col("n_full_funnel") / F.col("n_view_click").cast("double"), 6
+                F.col("n_full_funnel")
+                / F.nullif(F.col("n_view_click"), F.lit(0)).cast("double"),
+                6,
             ).alias("r_purchase"),
         )
     )
@@ -2715,6 +2723,10 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           - (CAST(s.s AS DOUBLE) / s.days)
                             * (CAST(s.s AS DOUBLE) / s.days)), 6) AS z
       FROM daily d JOIN stats s ON d.event_type = s.event_type
+      -- exact integer variance guard: sigma=0 groups never reach the
+      -- division, so NaN/NULL zero-div semantics (which differ across
+      -- DuckDB versions) cannot enter the comparison
+      WHERE s.sq * s.days > s.s * s.s
     ) WHERE abs(z) > 2
     """,
 )
@@ -2744,6 +2756,8 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         daily.join(F.broadcast(stats), "event_type")
+        # sigma=0 guard as an exact integer comparison, mirroring the oracle
+        .where(F.col("sq") * F.col("days") > F.col("s") * F.col("s"))
         .select("event_type", "day_n", "n", z.alias("z"))
         .where(F.abs(F.col("z")) > 2)
     )
