@@ -836,8 +836,9 @@ SET_MINHASHES = 12  # signature length for the set-overlap estimator
     SELECT e.type_a, e.type_b, e.est_jaccard,
            round(t.n_inter / CAST(za.n + zb.n - t.n_inter AS DOUBLE), 6)
              AS true_jaccard,
+           -- 2SE for k=12: sqrt(J(1-J)/12) <= 0.1443 at J=0.5, so 0.29
            abs(e.est_jaccard
-               - t.n_inter / CAST(za.n + zb.n - t.n_inter AS DOUBLE)) <= 0.35
+               - t.n_inter / CAST(za.n + zb.n - t.n_inter AS DOUBLE)) <= 0.29
              AS within_2se
     FROM est e
     JOIN tru t ON e.type_a = t.type_a AND e.type_b = t.type_b
@@ -856,7 +857,7 @@ def dedup_minhash_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are one linear scan + a (type, hash-id) groupBy; comparing
     ANY pair of sets then costs {SET_MINHASHES} equality checks instead of a
     join.  The exact-Jaccard side here exists only as the in-query audit
-    (`within_2se`, ±2 standard errors); both sides are md5-deterministic so
+    (`within_2se`: |est - true| <= 0.29, the k=12 2-standard-error bound sqrt(J(1-J)/12)*2 maximized at J=0.5); both sides are md5-deterministic so
     every value hash-matches cross-engine."""
     prep(spark)
     su = (
@@ -923,6 +924,6 @@ def dedup_minhash_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_b",
             "est_jaccard",
             F.round(true_j, 6).alias("true_jaccard"),
-            (F.abs(F.col("est_jaccard") - true_j) <= 0.35).alias("within_2se"),
+            (F.abs(F.col("est_jaccard") - true_j) <= 0.29).alias("within_2se"),
         )
     )

@@ -264,9 +264,11 @@ def triangle_counts(und_any: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # degree tables are O(|nodes|): no broadcast hint — AQE picks broadcast
+    # when they fit and a shuffle join when they don't (billion-node graphs)
     oriented = (
-        und.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        und.join(da, "a")
+        .join(db, "b")
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("x"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("y"),
