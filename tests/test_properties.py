@@ -534,3 +534,38 @@ def test_funnel_stage_counts_match_python_rederivation(spark):
         if any(e == "purchase" and t > t2 for t, e in evs):
             n3 += 1
     assert (r.n_view, r.n_view_click, r.n_full_funnel) == (n1, n2, n3)
+
+
+def test_cohort_retention_matches_python_rederivation(spark):
+    """Cohort matrix equals a sequential pure-Python re-derivation over the
+    raw events (the oracle mirrors the SQL shape, so it cannot catch a
+    shared misreading of 'first-activity week')."""
+    import datetime
+
+    import duckdb as _dd
+
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    out = all_queries()["agg_cohort_retention"].fn(spark, SF_DIR).collect()
+    got = {
+        (r.cohort_week.date(), r.week_offset): r.n_active for r in out
+    }
+    rows = _dd.sql(
+        f"SELECT user_id, CAST(date_trunc('milliseconds', ts) AS DATE) "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+
+    def monday(d):
+        return d - datetime.timedelta(days=d.weekday())
+
+    weeks = {}
+    for uid, d in rows:
+        weeks.setdefault(uid, set()).add(monday(d))
+    expected = {}
+    for uid, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            k = (c, (w - c).days // 7)
+            expected[k] = expected.get(k, 0) + 1
+    assert got == expected
