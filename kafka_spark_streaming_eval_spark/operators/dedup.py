@@ -142,13 +142,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     mins = ",\n             ".join(
         f"min(md5('{i}:' || sh)) AS h{i}" for i in range(N_HASHES)
     )
     return f"""
       SELECT doc_id, {mins}
-      FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents)
+      FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM {src})
       GROUP BY doc_id
     """
 

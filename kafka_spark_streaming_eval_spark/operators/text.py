@@ -720,3 +720,110 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+NEARDUP_PLANT_EVERY = 200  # plant a perturbed copy of every 200th (eval) doc
+NEARDUP_PLANT_OFFSET = 40000001  # keeps planted ids OUT of the %50 eval slice
+
+
+def _neardup_decon_oracle() -> str:
+    from kafka_spark_streaming_eval_spark.operators.dedup import (
+        BAND_SIZE,
+        N_HASHES,
+        _minhash_sql,
+    )
+
+    band_cases = "\n               ".join(
+        f"WHEN {b} THEN md5("
+        + " || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ")"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {NEARDUP_PLANT_OFFSET},
+             array_to_string(
+               list_slice(string_split(text, ' '), 1,
+                          len(string_split(text, ' ')) - 1), ' ')
+      FROM documents WHERE doc_id % {NEARDUP_PLANT_EVERY} = 0
+    ),
+    sig AS ({_minhash_sql('corpus')}),
+    bands AS (
+      SELECT doc_id, b.band_id,
+             CASE b.band_id
+               {band_cases}
+             END AS band_hash
+      FROM sig, (SELECT unnest(generate_series(0, {N_HASHES // BAND_SIZE - 1}))
+                 AS band_id) b
+    ),
+    eval_buckets AS (
+      SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 50 = 0
+    )
+    SELECT t.doc_id, count(DISTINCT t.band_id) AS n_shared_bands
+    FROM bands t
+    JOIN eval_buckets e
+      ON t.band_id = e.band_id AND t.band_hash = e.band_hash
+    WHERE t.doc_id % 50 <> 0
+    GROUP BY t.doc_id
+    """
+
+
+@register("text_decontaminate_neardup", "text", oracle=_neardup_decon_oracle())
+def text_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents that are
+    NEAR-duplicates of any eval document (share at least one MinHash-LSH
+    band bucket with the eval slice) — the modern complement to
+    `text_decontaminate_ngrams`, which only catches verbatim n-gram
+    overlap; paraphrased or lightly-edited eval leakage needs the near-dup
+    net.  Every {NEARDUP_PLANT_EVERY}th doc plants a one-token-shorter copy
+    outside the eval slice so the positive path is real on the synthetic
+    corpus.
+
+    Plan shape for 100 TB: signatures are one corpus scan (map-side
+    combinable min-aggregates); the eval slice's distinct band buckets are
+    tiny and BROADCAST, so the training side stays map-only — identical
+    posture to the exact-n-gram decontamination, at signature cost instead
+    of per-shingle cost."""
+    from kafka_spark_streaming_eval_spark.operators.dedup import (
+        BAND_SIZE,
+        N_HASHES,
+        minhash_signatures,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") % NEARDUP_PLANT_EVERY == 0).select(
+        (F.col("doc_id") + NEARDUP_PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    sig = minhash_signatures(corpus)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)])
+                ).alias("band_hash"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id",
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_hash").alias("band_hash"),
+    )
+    eval_buckets = (
+        bands.where(F.col("doc_id") % 50 == 0)
+        .select("band_id", "band_hash")
+        .distinct()
+    )
+    return (
+        bands.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_buckets), ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("band_id").alias("n_shared_bands"))
+    )

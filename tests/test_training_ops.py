@@ -325,3 +325,19 @@ def test_cohort_retention_offsets(spark, tmp_path):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_neardup_decontamination_catches_exact_copy(spark, tmp_path):
+    """A verbatim copy of an eval doc shares every LSH band and must be
+    flagged; an unrelated doc must not."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, eval_text, "en", "src0"),  # eval slice (0 % 50 == 0)
+        (1, eval_text, "en", "src0"),  # exact copy in the training slice
+        (2, "totally different words with no shared shingles at all here", "en", "src0"),
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = {r.doc_id: r.n_shared_bands
+           for r in SPECS["text_decontaminate_neardup"].fn(spark, str(tmp_path)).collect()}
+    assert out.get(1) == 4  # all four bands shared
+    assert 2 not in out
