@@ -2827,3 +2827,82 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grp").alias("l_returnflag"), "weighted_median", "total_weight"
         )
     )
+
+
+SESSION_GAP_MS = 86_400_000  # 1 day: the synthetic corpus is day-granular
+
+
+@register(
+    "window_sessionized_conversion",
+    "relational",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM {_EV}
+    ),
+    lagged AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM e
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN prev IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev) > {SESSION_GAP_MS}
+                  THEN 1 ELSE 0 END AS brk
+      FROM lagged
+    ),
+    sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             max(ts) FILTER (WHERE event_type = 'click') AS last_click
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           count(*) FILTER (
+             WHERE t_view IS NOT NULL AND last_click > t_view
+           ) AS n_converted
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def window_sessionized_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion: gap-based sessionization (a new session
+    after a >1-day silence) composed with a within-session view->click
+    funnel — "how many of each user's visits convert", the query product
+    analytics runs hourly.  Sessionization is the classic two-window
+    reduction (lag -> break flag -> running sum), so the whole pipeline is
+    ONE shuffle on user_id reused by both windows and the session
+    aggregation; tie-breaking on (ts, event_id) pins session boundaries
+    bit-identically across engines, and the gap compare is integer
+    epoch-ms, never interval arithmetic."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev", F.lag("ts").over(w))
+    brk = F.when(
+        F.col("prev").isNull()
+        | (F.unix_millis("ts") - F.unix_millis("prev") > SESSION_GAP_MS),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = lagged.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "last_click"
+        ),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(
+            (
+                F.col("t_view").isNotNull()
+                & (F.col("last_click") > F.col("t_view"))
+            ).cast("long")
+        ).alias("n_converted"),
+    )
