@@ -569,3 +569,49 @@ def test_cohort_retention_matches_python_rederivation(spark):
             k = (c, (w - c).days // 7)
             expected[k] = expected.get(k, 0) + 1
     assert got == expected
+
+
+def test_sessionized_conversion_matches_python_rederivation(spark):
+    """Session boundaries and conversion flags equal a sequential Python
+    scan (oracle mirrors the SQL shape, so it cannot catch a shared
+    misreading of the gap rule)."""
+    import duckdb as _dd
+
+    from kafka_spark_streaming_eval_spark.operators.relational import SESSION_GAP_MS
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    out = {
+        r.user_id: (r.n_sessions, r.n_converted)
+        for r in all_queries()["window_sessionized_conversion"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    rows = _dd.sql(
+        f"SELECT user_id, epoch_ms(date_trunc('milliseconds', ts)) AS ms, "
+        f"event_type, event_id "
+        f"FROM read_parquet('{SF_DIR}/events.parquet') "
+        f"ORDER BY user_id, ms, event_id"
+    ).fetchall()
+    by_user = {}
+    for uid, ms, et, eid in rows:
+        by_user.setdefault(uid, []).append((ms, eid, et))
+    expected = {}
+    for uid, evs in by_user.items():
+        sessions, cur = [], []
+        prev = None
+        for ms, eid, et in evs:
+            if prev is not None and ms - prev > SESSION_GAP_MS:
+                sessions.append(cur)
+                cur = []
+            cur.append((ms, et))
+            prev = ms
+        sessions.append(cur)
+        conv = 0
+        for sess_evs in sessions:
+            t_view = min((m for m, e in sess_evs if e == "view"), default=None)
+            last_click = max((m for m, e in sess_evs if e == "click"), default=None)
+            if t_view is not None and last_click is not None and last_click > t_view:
+                conv += 1
+        expected[uid] = (len(sessions), conv)
+    assert out == expected
