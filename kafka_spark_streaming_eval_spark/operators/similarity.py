@@ -744,3 +744,123 @@ def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+MRL_DIMS = 16  # truncated prefix dimensions (Matryoshka-style)
+MRL_TOP = 3  # depth of the recall comparison
+
+
+@register(
+    "sim_truncated_dim_recall",
+    "similarity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             {_NORM_SQL} AS nrm,
+             sqrt(list_reduce(list_transform(
+                    list_slice(embedding, 1, {MRL_DIMS}),
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, b) -> a + b)) AS tnrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) AS cos_full,
+             round(list_reduce(list_transform(
+                     generate_series(1, {MRL_DIMS}),
+                     i -> CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) / (a.tnrm * b.tnrm), 6) AS cos_trunc
+      FROM v a JOIN v b
+        ON a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+    ),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rn
+        FROM pairs) WHERE rn <= {MRL_TOP}
+    ),
+    trunc_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id) AS rn
+        FROM pairs) WHERE rn <= {MRL_TOP}
+    )
+    SELECT f.query_id,
+           count(t.neighbor_id) AS n_overlap,
+           round(count(t.neighbor_id) / CAST({MRL_TOP} AS DOUBLE), 6)
+             AS recall_at_{MRL_TOP}
+    FROM full_top f
+    LEFT JOIN trunc_top t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (Matryoshka-style) retrieval audit: run the same
+    cosine top-{MRL_TOP} with only the first {MRL_DIMS} of 64 dimensions and
+    report per-query recall against the full-dimension answer — the
+    measurement that decides whether a pipeline can serve candidate
+    retrieval from a 4x-cheaper prefix embedding and re-rank the survivors
+    at full precision.  Same single-scan broadcast-query plan as the exact
+    baseline (truncation is an O(1) column expression, not a second
+    dataset); all dot products are sequential folds rounded to 6 dp, ties
+    broken on neighbor id, so both engines rank identically."""
+    e = _emb(spark, sf_dir)
+    tslice = F.slice("embedding", 1, MRL_DIMS)
+    v = e.select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("nrm"),
+        l2_norm(tslice).alias("tnrm"),
+    )
+    q = v.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("tnrm").alias("q_tnrm"),
+    )
+    pairs = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm")),
+                6,
+            ).alias("cos_full"),
+            F.round(
+                dot(F.slice("q_emb", 1, MRL_DIMS), F.slice("embedding", 1, MRL_DIMS))
+                / (F.col("q_tnrm") * F.col("tnrm")),
+                6,
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "neighbor_id")
+    wt = W.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), "neighbor_id")
+    full_top = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= MRL_TOP)
+        .select("query_id", "neighbor_id")
+    )
+    trunc_top = (
+        pairs.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= MRL_TOP)
+        .select("query_id", F.col("neighbor_id").alias("t_neighbor_id"))
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (full_top.query_id == trunc_top.query_id)
+            & (full_top.neighbor_id == trunc_top.t_neighbor_id),
+            "left",
+        )
+        .groupBy(full_top.query_id)
+        .agg(
+            F.count("t_neighbor_id").alias("n_overlap"),
+            F.round(
+                F.count("t_neighbor_id") / F.lit(float(MRL_TOP)), 6
+            ).alias(f"recall_at_{MRL_TOP}"),
+        )
+    )
