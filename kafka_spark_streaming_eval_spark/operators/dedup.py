@@ -153,6 +153,49 @@ def _minhash_sql(src: str = "documents") -> str:
     """
 
 
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per (doc, LSH band).
+
+    Single explode over a literal band array: a per-band union of selects
+    over ``sig`` would recompute the signature aggregation per branch.
+    Shared by candidate-pair generation and near-dup decontamination so the
+    banding scheme lives in exactly one place."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat(*[f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)])
+                ).alias("band_hash"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id",
+        F.col("bd.band_id").alias("band_id"),
+        F.col("bd.band_hash").alias("band_hash"),
+    )
+
+
+def _bands_sql() -> str:
+    """DuckDB mirror of :func:`band_rows`: SELECT body over a ``sig`` CTE."""
+    cases = "\n               ".join(
+        f"WHEN {b} THEN md5("
+        + " || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        + ")"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+      SELECT doc_id, b.band_id,
+             CASE b.band_id
+               {cases}
+             END AS band_hash
+      FROM sig, (SELECT unnest(generate_series(0, {N_HASHES // BAND_SIZE - 1}))
+                 AS band_id) b
+    """
+
+
 @register(
     "dedup_minhash_signature",
     "dedup",
@@ -176,18 +219,10 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BANDS_BODY = _bands_sql()
 _LSH_PAIRS_SQL = f"""
     WITH sig AS ({_minhash_sql()}),
-    bands AS (
-      SELECT doc_id, b.band_id,
-             CASE b.band_id
-               WHEN 0 THEN md5(h0 || h1 || h2)
-               WHEN 1 THEN md5(h3 || h4 || h5)
-               WHEN 2 THEN md5(h6 || h7 || h8)
-               ELSE        md5(h9 || h10 || h11)
-             END AS band_hash
-      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band_id) b
-    )
+    bands AS ({_BANDS_BODY})
     , capped AS (
       SELECT band_id, band_hash,
              unnest(list_slice(list_sort(list(doc_id)), 1, {LSH_BUCKET_CAP}))
@@ -214,23 +249,7 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     capped at the first ``LSH_BUCKET_CAP`` sorted doc ids per bucket,
     bounding any degenerate bucket (all-identical corpus) at C(cap,2)
     pairs; the oracle applies the identical cap."""
-    sig = minhash_signatures(docs)
-    # One band row per (doc, band) via a single explode — a 4-way union of
-    # selects over `sig` would recompute the signature aggregation per branch.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(*[f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)])
-                ).alias("band_hash"),
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    allb = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
-        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
-    )
+    allb = band_rows(minhash_signatures(docs))
     # Cap BEFORE collecting: row_number over the bucket key keeps every
     # bucket's array <= cap elements, so a degenerate bucket can never
     # materialize a giant collect_list array in one task.  The window

@@ -2899,10 +2899,14 @@ def window_sessionized_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return per_sess.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.sum(
-            (
+        # count(when(...)) ignores NULL condition rows, so a user whose
+        # sessions are all view-only yields 0 here (sum() would yield NULL,
+        # diverging from the oracle's count(*) FILTER)
+        F.count(
+            F.when(
                 F.col("t_view").isNotNull()
-                & (F.col("last_click") > F.col("t_view"))
-            ).cast("long")
+                & (F.col("last_click") > F.col("t_view")),
+                F.lit(1),
+            )
         ).alias("n_converted"),
     )

@@ -802,9 +802,9 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per-query recall against the full-dimension answer — the
     measurement that decides whether a pipeline can serve candidate
     retrieval from a 4x-cheaper prefix embedding and re-rank the survivors
-    at full precision.  Same single-scan broadcast-query plan as the exact
-    baseline (truncation is an O(1) column expression, not a second
-    dataset); all dot products are sequential folds rounded to 6 dp, ties
+    at full precision.  ONE scan, one broadcast join, both ranks on the same pair row —
+    no full-vs-truncated self-join (truncation is an O(1) column
+    expression, not a second dataset); all dot products are sequential folds rounded to 6 dp, ties
     broken on neighbor id, so both engines rank identically."""
     e = _emb(spark, sf_dir)
     tslice = F.slice("embedding", 1, MRL_DIMS)
@@ -837,30 +837,26 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_trunc"),
         )
     )
+    # Both ranks live on the SAME pair row, so the overlap needs no join:
+    # two windows over one query_id partition (one shuffle) and a count of
+    # rows ranked <= top in BOTH orders.  A full_top x trunc_top self-join
+    # would re-execute the whole scan + broadcast + dot-product pipeline
+    # per side (Spark shares no lineage between join inputs).
     wf = W.partitionBy("query_id").orderBy(F.col("cos_full").desc(), "neighbor_id")
     wt = W.partitionBy("query_id").orderBy(F.col("cos_trunc").desc(), "neighbor_id")
-    full_top = (
-        pairs.withColumn("rn", F.row_number().over(wf))
-        .where(F.col("rn") <= MRL_TOP)
-        .select("query_id", "neighbor_id")
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wt).alias("rn_trunc"),
     )
-    trunc_top = (
-        pairs.withColumn("rn", F.row_number().over(wt))
-        .where(F.col("rn") <= MRL_TOP)
-        .select("query_id", F.col("neighbor_id").alias("t_neighbor_id"))
-    )
+    overlap = (F.col("rn_full") <= MRL_TOP) & (F.col("rn_trunc") <= MRL_TOP)
     return (
-        full_top.join(
-            trunc_top,
-            (full_top.query_id == trunc_top.query_id)
-            & (full_top.neighbor_id == trunc_top.t_neighbor_id),
-            "left",
-        )
-        .groupBy(full_top.query_id)
+        ranked.where(F.col("rn_full") <= MRL_TOP)
+        .groupBy("query_id")
         .agg(
-            F.count("t_neighbor_id").alias("n_overlap"),
+            F.count(F.when(overlap, F.lit(1))).alias("n_overlap"),
             F.round(
-                F.count("t_neighbor_id") / F.lit(float(MRL_TOP)), 6
+                F.count(F.when(overlap, F.lit(1))) / F.lit(float(MRL_TOP)), 6
             ).alias(f"recall_at_{MRL_TOP}"),
         )
     )

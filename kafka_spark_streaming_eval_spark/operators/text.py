@@ -728,17 +728,10 @@ NEARDUP_PLANT_OFFSET = 40000001  # keeps planted ids OUT of the %50 eval slice
 
 def _neardup_decon_oracle() -> str:
     from kafka_spark_streaming_eval_spark.operators.dedup import (
-        BAND_SIZE,
-        N_HASHES,
+        _bands_sql,
         _minhash_sql,
     )
 
-    band_cases = "\n               ".join(
-        f"WHEN {b} THEN md5("
-        + " || ".join(f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
-        + ")"
-        for b in range(N_HASHES // BAND_SIZE)
-    )
     return f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
@@ -750,14 +743,7 @@ def _neardup_decon_oracle() -> str:
       FROM documents WHERE doc_id % {NEARDUP_PLANT_EVERY} = 0
     ),
     sig AS ({_minhash_sql('corpus')}),
-    bands AS (
-      SELECT doc_id, b.band_id,
-             CASE b.band_id
-               {band_cases}
-             END AS band_hash
-      FROM sig, (SELECT unnest(generate_series(0, {N_HASHES // BAND_SIZE - 1}))
-                 AS band_id) b
-    ),
+    bands AS ({_bands_sql()}),
     eval_buckets AS (
       SELECT DISTINCT band_id, band_hash FROM bands WHERE doc_id % 50 = 0
     )
@@ -787,8 +773,7 @@ def text_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture to the exact-n-gram decontamination, at signature cost instead
     of per-shingle cost."""
     from kafka_spark_streaming_eval_spark.operators.dedup import (
-        BAND_SIZE,
-        N_HASHES,
+        band_rows,
         minhash_signatures,
     )
 
@@ -799,23 +784,7 @@ def text_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
     )
     corpus = d.select("doc_id", "text").unionByName(planted)
-    sig = minhash_signatures(corpus)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat(*[f"h{b * BAND_SIZE + j}" for j in range(BAND_SIZE)])
-                ).alias("band_hash"),
-            )
-            for b in range(N_HASHES // BAND_SIZE)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
-        "doc_id",
-        F.col("bd.band_id").alias("band_id"),
-        F.col("bd.band_hash").alias("band_hash"),
-    )
+    bands = band_rows(minhash_signatures(corpus))
     eval_buckets = (
         bands.where(F.col("doc_id") % 50 == 0)
         .select("band_id", "band_hash")

@@ -341,3 +341,21 @@ def test_neardup_decontamination_catches_exact_copy(spark, tmp_path):
            for r in SPECS["text_decontaminate_neardup"].fn(spark, str(tmp_path)).collect()}
     assert out.get(1) == 4  # all four bands shared
     assert 2 not in out
+
+
+def test_sessionized_conversion_view_only_user_counts_zero(spark, tmp_path):
+    """A user whose only session contains a single view must report
+    n_converted = 0, not NULL (sum over all-NULL conditions is the trap;
+    the fixtures happen to contain no such user)."""
+    rows = [
+        (1, "2024-01-01T10:00:00", 7, "view", 1.0),
+        (2, "2024-01-01T10:00:00", 8, "view", 1.0),
+        (3, "2024-01-01T11:00:00", 8, "click", 1.0),
+    ]
+    _write_events(tmp_path / "events.parquet", rows)
+    out = {
+        r.user_id: (r.n_sessions, r.n_converted)
+        for r in SPECS["window_sessionized_conversion"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[7] == (1, 0)  # view-only: zero, never NULL
+    assert out[8] == (1, 1)
