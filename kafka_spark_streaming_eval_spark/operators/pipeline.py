@@ -407,3 +407,135 @@ def pipeline_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-shape planning: length-bucketed batching
+# ---------------------------------------------------------------------------
+
+# Power-of-two context buckets a batching system pads documents into.
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _bucket_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} <= {b} THEN {b}" for b in LENGTH_BUCKETS
+    )
+    return f"CASE {whens} ELSE 8192 END"
+
+
+@register(
+    "pipeline_length_buckets",
+    "pipeline",
+    oracle=f"""
+    WITH lens AS (
+      SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    )
+    SELECT {_bucket_case_sql('n_tok')} AS bucket_tokens,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * {_bucket_case_sql('n_tok')} AS BIGINT) AS padded_tokens,
+           round((count(*) * {_bucket_case_sql('n_tok')} - sum(n_tok)) * 1.0
+                 / (count(*) * {_bucket_case_sql('n_tok')}), 6) AS pad_waste_frac
+    FROM lens
+    GROUP BY 1
+    """,
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign each document to the smallest
+    power-of-two token bucket that holds it and measure the padding a
+    fixed-shape batcher would waste per bucket — the number that decides
+    between naive padding and sequence packing (`pipeline_pack_sequences`).
+    The bucket ladder is an explicit CASE (not float log2, whose edge
+    rounding differs across engines at exact powers of two).
+
+    Plan shape: tokenize + bucket are map-side expressions; one aggregation
+    over ~10 bucket keys.  At 100 TB this is a single scan with map-side
+    partial aggregation into 10 groups — no skew possible."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bucket = F.lit(8192)
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
+    g = d.select(n_tok.alias("n_tok"), bucket.alias("bucket_tokens"))
+    padded = F.count(F.lit(1)) * F.col("bucket_tokens")
+    return (
+        g.groupBy("bucket_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_tokens",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket_tokens")).alias("padded_tokens"),
+            F.round(
+                (F.col("n_docs") * F.col("bucket_tokens") - F.col("sum_tokens"))
+                * 1.0
+                / (F.col("n_docs") * F.col("bucket_tokens")),
+                6,
+            ).alias("pad_waste_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle / shard assignment
+# ---------------------------------------------------------------------------
+
+N_TRAIN_SHARDS = 16  # one hex digit of md5 -> 16 shards
+
+
+@register(
+    "pipeline_deterministic_shuffle",
+    "pipeline",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             substr(md5(CAST(doc_id AS VARCHAR)), 2, 16) AS ord_key
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min_by(doc_id, ord_key) AS first_doc_id,
+           max_by(doc_id, ord_key) AS last_doc_id,
+           min(ord_key) AS first_ord_key
+    FROM keyed
+    GROUP BY shard
+    """,
+)
+def pipeline_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: shard every document by the
+    first md5 hex digit of its id and order within a shard by the next 16
+    hex digits — a reproducible global permutation that is identical on any
+    engine, any cluster layout, any run (unlike ``df.sample``/``shuffle``
+    seeds, which are partition-layout-dependent).  Emits per-shard counts
+    and the first/last document under that ordering (``min_by``/``max_by``
+    against the unique ord_key, so the argmin is well-defined).
+
+    Plan shape for 100 TB: shard + sort keys are map-side md5 expressions;
+    the per-shard stats are one 16-group aggregation.  A real writer would
+    ``repartitionByRange(shard, ord_key)`` and write sorted shards with the
+    exact same keys — the permutation itself never needs a driver-side
+    sort."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.substring(h, 1, 1).alias("shard"),
+        F.substring(h, 2, 16).alias("ord_key"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min_by("doc_id", "ord_key").alias("first_doc_id"),
+        F.max_by("doc_id", "ord_key").alias("last_doc_id"),
+        F.min("ord_key").alias("first_ord_key"),
+    )

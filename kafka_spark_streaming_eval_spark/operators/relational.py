@@ -2910,3 +2910,114 @@ def window_sessionized_conversion(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("n_converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered / conditional aggregate battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_filtered_battery",
+    "relational",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value > 100.0) AS n_high,
+           count(*) FILTER (WHERE user_id % 7 = 0) AS n_mod7,
+           {dsum_sql('CASE WHEN user_id % 2 = 0 THEN value END')} AS even_user_value,
+           bool_or(value > 400.0) AS any_extreme,
+           bool_and(value > 0.0) AS all_positive,
+           max_by(user_id, event_id) AS latest_user,
+           min_by(user_id, event_id) AS earliest_user
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_filtered_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered and conditional aggregates in one grouped pass: SQL FILTER
+    clauses (as ``count_if`` / conditional sum on the Spark side),
+    ``bool_or``/``bool_and`` existence flags, and ``max_by``/``min_by``
+    arg-extremes keyed on the unique event_id (so the argmax is
+    deterministic).  All nine aggregates fuse into a single hash-aggregate
+    over 5 group keys — one scan, map-side partials, no subquery per
+    predicate the way pre-FILTER SQL had to."""
+    ev = _t(spark, sf_dir, "events")
+    even_val = F.when(F.col("user_id") % 2 == 0, F.col("value"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") > 100.0).alias("n_high"),
+        F.count_if(F.col("user_id") % 7 == 0).alias("n_mod7"),
+        dsum(even_val).alias("even_user_value"),
+        F.bool_or(F.col("value") > 400.0).alias("any_extreme"),
+        F.bool_and(F.col("value") > 0.0).alias("all_positive"),
+        F.max_by("user_id", "event_id").alias("latest_user"),
+        F.min_by("user_id", "event_id").alias("earliest_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (EXISTS / NOT EXISTS / scalar) — Catalyst decorrelation
+# ---------------------------------------------------------------------------
+
+_EXISTS_DECORRELATED_SQL = """
+SELECT c.c_custkey, c.c_name,
+       (SELECT count(*) FROM orders o3
+        WHERE o3.o_custkey = c.c_custkey) AS n_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 250000.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+"""
+
+
+@register("sql_exists_decorrelated", "relational", oracle=_EXISTS_DECORRELATED_SQL)
+def sql_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries in their SQL form — EXISTS, NOT EXISTS, and a
+    correlated scalar count — run as the SAME SQL text on both engines.
+    The DataFrame-API counterparts (`join_semi_big_spenders`,
+    `join_anti_dormant`, `join_left_order_counts`) pin the physical
+    semi/anti/outer join shapes; this entry pins Catalyst's subquery
+    DECORRELATION: all three subqueries rewrite to joins on o_custkey (the
+    scalar count must stay correct for zero-order customers — the classic
+    COUNT-bug case — via the left outer + coalesce rewrite).  At 100 TB
+    each becomes one shuffled equi-join; nothing executes per-row."""
+    from kafka_spark_streaming_eval_spark.catalog import register_views
+
+    spark = prep(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_DECORRELATED_SQL)
+
+
+@register(
+    "agg_multi_count_distinct",
+    "relational",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS u_users,
+           count(DISTINCT user_id % 10) AS u_mod,
+           count(DISTINCT value) AS u_values,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT expressions in one grouped
+    aggregate — Catalyst plans this with an Expand operator (one replicated
+    row-stream per distinct set) feeding a two-phase aggregate, instead of
+    N self-joined scans.  Distinctness over the double column is exact
+    (identical parquet bits on both engines, no arithmetic).  At 100 TB the
+    Expand multiplies shuffle volume by the number of distinct sets — the
+    plan to watch for, and the reason `agg_approx_distinct` exists as the
+    sketch alternative."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("u_users"),
+        F.count_distinct(F.col("user_id") % 10).alias("u_mod"),
+        F.count_distinct("value").alias("u_values"),
+        F.count(F.lit(1)).alias("n"),
+    )

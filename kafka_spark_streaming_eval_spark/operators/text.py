@@ -796,3 +796,73 @@ def text_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("band_id").alias("n_shared_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (training-data prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32  # context-window size in whitespace tokens
+CHUNK_STRIDE = 24  # window step (CHUNK_TOKENS - CHUNK_STRIDE tokens overlap)
+
+
+@register(
+    "text_chunk_overlap",
+    "text-analysis",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, n_tokens, t,
+             unnest(generate_series(1, greatest(n_tokens, 1),
+                                    {CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           (s - 1) // {CHUNK_STRIDE} + 1 AS chunk_idx,
+           s AS chunk_start,
+           least({CHUNK_TOKENS}, n_tokens - s + 1) AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(t, s, s + {CHUNK_TOKENS} - 1), ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split every document into
+    {CHUNK_TOKENS}-token context windows advancing {CHUNK_STRIDE} tokens at
+    a time (8-token overlap carries context across boundaries) — how a
+    pretraining/RAG pipeline turns variable-length documents into
+    fixed-budget training examples.  The chunk text itself leaves the query
+    as an md5 (driver-hashable and enough to verify content parity).
+
+    Plan shape for 100 TB: tokenize + ``sequence``/``explode`` + ``slice``
+    are all map-side whole-stage-codegen'd expressions — zero shuffles, no
+    Python; output rows ~= corpus_tokens / {CHUNK_STRIDE}, produced
+    streaming per input partition (no document ever has to fit anywhere
+    except its own slice)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id", toks.alias("t"), F.size(toks).alias("n_tokens")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest("n_tokens", F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = base.select(
+        "doc_id", "t", "n_tokens", F.explode(starts).alias("s")
+    )
+    return chunks.select(
+        "doc_id",
+        (F.floor((F.col("s") - 1) / CHUNK_STRIDE) + 1).alias("chunk_idx"),
+        F.col("s").alias("chunk_start"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("s") + 1).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(F.array_join(F.slice("t", F.col("s"), F.lit(CHUNK_TOKENS)), " ")).alias(
+            "chunk_md5"
+        ),
+    )

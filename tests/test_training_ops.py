@@ -359,3 +359,63 @@ def test_sessionized_conversion_view_only_user_counts_zero(spark, tmp_path):
     }
     assert out[7] == (1, 0)  # view-only: zero, never NULL
     assert out[8] == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Chunking / batching / shard-assignment invariants
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_covers_every_token(spark, tmp_path):
+    """Chunks tile each document completely: the last chunk ends exactly at
+    n_tokens, consecutive starts advance by the stride, and every chunk but
+    the final one holds the full window (doc lengths straddle the window
+    size on both sides)."""
+    from kafka_spark_streaming_eval_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(n)), "en", "src0")
+        for i, n in enumerate([1, 5, CHUNK_TOKENS, CHUNK_TOKENS + 1, 100, 240])
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = SPECS["text_chunk_overlap"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for (i, text, *_rest) in rows:
+        n = len(text.split(" "))
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_start)
+        assert [c.chunk_start for c in chunks] == list(
+            range(1, n + 1, CHUNK_STRIDE)
+        )
+        assert chunks[-1].chunk_start + chunks[-1].n_chunk_tokens - 1 == n
+        for c in chunks[:-1]:
+            assert c.n_chunk_tokens == min(CHUNK_TOKENS, n - c.chunk_start + 1)
+        assert [c.chunk_idx for c in chunks] == list(range(1, len(chunks) + 1))
+
+
+def test_length_buckets_conserve_docs_and_bound_padding(spark, planted_dir):
+    """Every doc lands in exactly one bucket, the bucket holds its longest
+    member, and padding accounting is exact."""
+    out = SPECS["pipeline_length_buckets"].fn(spark, planted_dir).collect()
+    assert sum(r.n_docs for r in out) == 30
+    for r in out:
+        assert r.padded_tokens == r.n_docs * r.bucket_tokens
+        assert 0.0 <= r.pad_waste_frac < 1.0
+        assert r.sum_tokens <= r.padded_tokens
+
+
+def test_deterministic_shuffle_partitions_corpus(spark, planted_dir):
+    """The 16 shards partition the corpus (counts sum to the total) and the
+    assignment is identical run-to-run and under repartitioning — the
+    property that makes the training order reproducible on any cluster."""
+    fn = SPECS["pipeline_deterministic_shuffle"].fn
+    out1 = {r.shard: r for r in fn(spark, planted_dir).collect()}
+    out2 = {r.shard: r for r in fn(spark, planted_dir).collect()}
+    assert sum(r.n_docs for r in out1.values()) == 30
+    assert {k: (v.n_docs, v.first_doc_id, v.last_doc_id) for k, v in out1.items()} == {
+        k: (v.n_docs, v.first_doc_id, v.last_doc_id) for k, v in out2.items()
+    }
