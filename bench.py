@@ -73,6 +73,8 @@ HEADLINE = [
     "text_vocab_growth",
     "text_source_vocab_overlap",
     "sim_centroid_confusion",
+    "text_chunk_overlap",
+    "pipeline_deterministic_shuffle",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000
