@@ -20,7 +20,7 @@ therefore run the *identical* rank trajectory for all iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
@@ -349,3 +349,144 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two corpus-sized hash joins (wedge build on the root, closure
     probe on the far edge), everything keyed, no cartesian."""
     return triangle_counts(trade_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (common neighbors / Jaccard / Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+LP_DEGREE_CAP = 64  # wedge centers above this degree carry ~no signal
+LP_TOPK = 20
+_LP_AA_GRID = "1000000000000"  # 1e12 quantization for the Adamic-Adar sum
+
+_LP_EDGES_SQL = """
+  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE (c.c_nationkey * 31 + s.s_nationkey * 17) % 7 < 2
+    AND c.c_nationkey <> s.s_nationkey
+"""
+
+
+@register(
+    "graph_link_prediction",
+    "graph",
+    oracle=f"""
+    WITH und AS ({_LP_EDGES_SQL}),
+    nbr AS (
+      SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT x AS n, count(*) AS d FROM nbr GROUP BY x),
+    cand AS (
+      SELECT n1.y AS u, n2.y AS v,
+             count(*) AS n_common,
+             CAST(sum(CAST(floor({_LP_AA_GRID} / dx.d) AS BIGINT)) AS BIGINT)
+               AS aa_score_q
+      FROM nbr n1
+      JOIN nbr n2 ON n1.x = n2.x AND n1.y < n2.y
+      JOIN deg dx ON n1.x = dx.n
+      WHERE dx.d <= {LP_DEGREE_CAP}
+      GROUP BY n1.y, n2.y
+    ),
+    nonedges AS (
+      SELECT c.* FROM cand c
+      ANTI JOIN und e ON e.a = c.u AND e.b = c.v
+    )
+    SELECT u, v, n_common,
+           round(n_common * 1.0 / (du.d + dv.d - n_common), 6) AS jaccard,
+           aa_score_q
+    FROM nonedges
+    JOIN deg du ON u = du.n
+    JOIN deg dv ON v = dv.n
+    QUALIFY row_number() OVER (ORDER BY aa_score_q DESC, u, v) <= {LP_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the sparsified trade graph: for every
+    NON-adjacent node pair, count common neighbors and score the pair by
+    Jaccard overlap and Adamic-Adar.  Determinism contract: Adamic-Adar's
+    sum of 1/deg terms is order-sensitive in floats, so each term is
+    quantized to the integer grid floor(1e12/deg) and summed as BIGINT —
+    exact, order-independent, identical on both engines (same trick as
+    PageRank's contribution grid); Jaccard is one division of identical
+    integers.
+
+    Scale posture: the wedge join's fan-out is deg(x)^2 per common
+    neighbor x, so wedge centers are capped at degree {LP_DEGREE_CAP}
+    (mirrored in the oracle) — on a skewed 100 TB graph the hub wedges
+    are both the blow-up AND the noise (a neighbor shared with everyone
+    predicts nothing; Adamic-Adar already discounts it ~1/deg), which is
+    why production link prediction drops or samples hubs.  Everything is
+    keyed equi-joins; the candidate set, not the corpus, flows into the
+    anti-join against existing edges."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    und = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            c.c_nationkey.cast("int").alias("src"),
+            s.s_nationkey.cast("int").alias("dst"),
+        )
+        .where(
+            ((F.col("src") * 31 + F.col("dst") * 17) % 7 < 2)
+            & (F.col("src") != F.col("dst"))
+        )
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        # feeds 3 branches (both wedge sides + the anti-join) — materialize
+        # once instead of replaying the 4-table join per branch
+        .localCheckpoint(eager=True)
+    )
+    nbr = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = nbr.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select("x", F.col("y").alias("u"))
+    n2 = nbr.select("x", F.col("y").alias("v"))
+    dx = deg.where(F.col("d") <= LP_DEGREE_CAP)
+    cand = (
+        n1.join(n2, "x")
+        .where(F.col("u") < F.col("v"))
+        .join(dx, "x")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.floor(F.lit(int(_LP_AA_GRID)) / F.col("d")).cast("long")
+            ).alias("aa_score_q"),
+        )
+    )
+    nonedges = cand.join(
+        und,
+        (und.a == cand.u) & (und.b == cand.v),
+        "left_anti",
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        nonedges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common") * 1.0
+                / (F.col("du") + F.col("dv") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            "aa_score_q",
+        )
+    )
+    w = F.row_number().over(W.orderBy(F.col("aa_score_q").desc(), "u", "v"))
+    return scored.withColumn("rn", w).where(F.col("rn") <= LP_TOPK).drop("rn")

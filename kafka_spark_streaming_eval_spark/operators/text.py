@@ -866,3 +866,113 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_md5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("vector", "stream", "group")  # the standing keyword query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+@register(
+    "text_bm25_search",
+    "text-analysis",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w IN {BM25_TERMS!r}
+      GROUP BY doc_id, w
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                       + {BM25_B} * dl.dl / s.avgdl)),
+               6) AS DECIMAL(38,6)) AS term_score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS bm25,
+           count(*) AS n_matched_terms
+    FROM scored
+    GROUP BY doc_id
+    QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-{BM25_TOPK} documents for a standing
+    multi-term query — the lexical-search complement to the embedding
+    ``sim_*`` family.  Determinism contract: idf uses the RATIONAL form
+    (N - df + 0.5)/(df + 0.5) instead of the usual log (libm log results
+    can differ in the last ulp across engines); every arithmetic step is
+    elementary IEEE ops on identical operands, and per-term scores are
+    rounded then summed as DECIMAL so the cross-term total is
+    order-independent.
+
+    Plan shape for 100 TB: the term filter cuts the exploded token stream
+    to query terms BEFORE any shuffle (map-side); df and the (n_docs,
+    avgdl) scalars are tiny broadcasts; scoring joins touch only matching
+    postings — the classic impact-ordered retrieval shape, never a corpus
+    self-join."""
+    d = _docs(spark, sf_dir)
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("term_score"),
+        )
+    )
+    totals = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BM25_TOPK)
+        .drop("rn")
+    )
