@@ -423,3 +423,64 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (outlier-robust feature cleaning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_winsorized_stats",
+    "relational",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE e.value < b.lo) AS n_clamped_low,
+           count(*) FILTER (WHERE e.value > b.hi) AS n_clamped_high,
+           {dsum_sql('least(greatest(e.value, b.lo), b.hi)')} AS winsorized_sum,
+           round({dsum_sql('least(greatest(e.value, b.lo), b.hi)')}
+                 / count(*), 6) AS winsorized_mean,
+           b.lo AS p05, b.hi AS p95
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type, b.lo, b.hi
+    """,
+)
+def quality_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: clamp values to the exact
+    [p05, p95] band and report the outlier-robust sum/mean plus how many
+    rows were clamped at each tail — the standard feature-cleaning step
+    before training on heavy-tailed telemetry.  The exact percentiles use
+    linear interpolation on both engines, rounded to 6 dp BEFORE clamping
+    so the band edges are the identical double cross-engine; clamped
+    values then go through the usual DECIMAL sum.
+
+    Plan shape: two passes over the fact table (one to aggregate the
+    per-group bounds — 5 rows, broadcast back — one to clamp + aggregate).
+    At 100 TB the second pass's clamp is a map-side expression; a
+    single-pass variant would substitute `percentile_approx` sketch bounds
+    (the `ref_flagship_batch_metrics` path) at the cost of exactness."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("lo")).alias("n_clamped_low"),
+        F.count_if(F.col("value") > F.col("hi")).alias("n_clamped_high"),
+        dsum(clamped).alias("winsorized_sum"),
+        F.round(dsum(clamped) / F.count(F.lit(1)), 6).alias("winsorized_mean"),
+    ).select(
+        "event_type", "n", "n_clamped_low", "n_clamped_high",
+        "winsorized_sum", "winsorized_mean",
+        F.col("lo").alias("p05"), F.col("hi").alias("p95"),
+    )

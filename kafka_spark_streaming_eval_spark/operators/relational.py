@@ -3021,3 +3021,106 @@ def agg_multi_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("value").alias("u_values"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (mergeable, bounded-memory heavy-hitter counts)
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4  # independent hash rows
+CM_PROBES = 5  # how many keys the query estimates
+
+
+@register(
+    "agg_countmin_sketch",
+    "relational",
+    oracle=f"""
+    WITH cells AS (
+      SELECT j, substr(md5(j || ':' || CAST(user_id AS VARCHAR)), 1, 1) AS c,
+             count(*) AS n
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS j)
+      GROUP BY j, c
+    ),
+    probes AS (
+      SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT {CM_PROBES}
+    ),
+    coords AS (
+      SELECT p.user_id, j,
+             substr(md5(j || ':' || CAST(p.user_id AS VARCHAR)), 1, 1) AS c
+      FROM probes p
+      CROSS JOIN (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS j)
+    ),
+    est AS (
+      SELECT coords.user_id, min(cells.n) AS est_n
+      FROM coords JOIN cells USING (j, c)
+      GROUP BY coords.user_id
+    ),
+    truth AS (
+      SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, t.true_n, e.est_n,
+           e.est_n - t.true_n AS overcount,
+           e.est_n >= t.true_n AS cm_never_undercounts
+    FROM est e JOIN truth t USING (user_id)
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built and queried entirely as relational ops: a
+    {CM_DEPTH}x16 counter grid (row j buckets keys by the first hex char of
+    md5(j:key)), point-estimates for the {CM_PROBES} smallest user ids as
+    min-over-rows, checked against true counts — the structural guarantee
+    (estimate never undercounts) travels as an output column.  Buckets stay
+    hex STRINGS end to end: no hex-to-int step to drift cross-engine.
+
+    Why this matters at 100 TB: the grid is fixed-size (64 cells) however
+    many distinct keys stream through, the cell counts are plain SUMs —
+    map-side combinable AND mergeable across shards/days exactly like the
+    `agg_hll_partitioned_merge` sketches — so frequency estimation costs
+    one bounded aggregation where exact per-key counting would shuffle
+    every key."""
+    ev = _t(spark, sf_dir, "events")
+    js = F.explode(F.array(*[F.lit(j) for j in range(CM_DEPTH)])).alias("j")
+    keyed = ev.select(F.col("user_id").cast("string").alias("uid")).select(
+        "uid", js
+    )
+    cell_of = F.substring(
+        F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("uid"))), 1, 1
+    )
+    cells = keyed.groupBy("j", cell_of.alias("c")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    probes = (
+        ev.select("user_id").distinct().orderBy("user_id").limit(CM_PROBES)
+    )
+    coords = probes.select(F.col("user_id"), js).select(
+        "user_id",
+        "j",
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).alias("c"),
+    )
+    est = (
+        coords.join(F.broadcast(cells), ["j", "c"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("est_n"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    return (
+        est.join(truth, "user_id")
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+            (F.col("est_n") >= F.col("true_n")).alias("cm_never_undercounts"),
+        )
+    )
