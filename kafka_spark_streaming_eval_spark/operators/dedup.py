@@ -946,3 +946,70 @@ def dedup_minhash_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("est_jaccard") - true_j) <= 0.29).alias("within_2se"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep — dedup-pipeline tuning in one pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_threshold_sweep",
+    "dedup",
+    oracle=f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    jac AS (
+      SELECT CAST(least(floor(
+               (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.s, b.s)))) * 10), 9) AS BIGINT)
+             AS band
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b
+    )
+    SELECT band, round(band / 10.0, 1) AS band_lo,
+           count(*) AS n_pairs,
+           CAST(sum(count(*))
+                OVER (ORDER BY band DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_at_or_above
+    FROM jac
+    GROUP BY band
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning in ONE pass: exact Jaccard for every LSH
+    candidate pair, bucketed into 0.1-wide similarity bands with a
+    cumulative pairs-at-or-above count per band — the curve an operator
+    reads to pick the near-dup cutoff (how many pairs would a 0.8
+    threshold remove vs 0.6?) without re-running the pipeline per
+    candidate threshold.
+
+    Scale shape: identical cost to `dedup_lsh_jaccard_verified` (the
+    verification join over the capped candidate set) plus a ~10-row
+    window — the sweep is free relative to one fixed-threshold run, which
+    is the point."""
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs)
+    sh = shingle_rows(docs).groupBy("doc_id").agg(F.collect_set("sh").alias("s"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = (
+        F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+        / F.size(F.array_distinct(F.concat(F.col("a.s"), F.col("b.s"))))
+    )
+    banded = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(F.least(F.floor(jac * 10), F.lit(9)).cast("long").alias("band"))
+    )
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = W.orderBy(F.col("band").desc()).rowsBetween(W.unboundedPreceding, 0)
+    return counts.select(
+        "band",
+        F.round(F.col("band") / 10.0, 1).alias("band_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_at_or_above"),
+    )

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR
 
 SPECS = all_queries()
 
@@ -419,3 +420,59 @@ def test_deterministic_shuffle_partitions_corpus(spark, planted_dir):
     assert {k: (v.n_docs, v.first_doc_id, v.last_doc_id) for k, v in out1.items()} == {
         k: (v.n_docs, v.first_doc_id, v.last_doc_id) for k, v in out2.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / sketch / winsorize invariants
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_higher_tf_first(spark, tmp_path):
+    """Same-length docs: the one with more occurrences of a query term
+    scores strictly higher; a doc with no query terms never appears."""
+    from kafka_spark_streaming_eval_spark.operators.text import BM25_TERMS
+
+    t = BM25_TERMS[0]
+    filler = "pad"
+    rows = [
+        (0, " ".join([t] * 5 + [filler] * 5), "en", "s"),
+        (1, " ".join([t] * 1 + [filler] * 9), "en", "s"),
+        (2, " ".join([filler] * 10), "en", "s"),
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = {r.doc_id: r for r in SPECS["text_bm25_search"].fn(spark, str(tmp_path)).collect()}
+    assert 2 not in out
+    assert out[0].bm25 > out[1].bm25
+
+
+def test_countmin_never_undercounts(spark):
+    """The CM structural guarantee holds on real testdata for every probe."""
+    out = SPECS["agg_countmin_sketch"].fn(spark, SF_DIR).collect()
+    assert out, "no probe rows"
+    for r in out:
+        assert r.cm_never_undercounts
+        assert r.overcount >= 0
+        assert r.est_n >= r.true_n
+
+
+def test_winsorized_mean_within_band(spark):
+    """The winsorized mean sits inside the clamp band and clamping touches
+    roughly the expected ~10% of rows (5% per tail, exact interpolation)."""
+    out = SPECS["quality_winsorized_stats"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.p05 <= r.winsorized_mean <= r.p95, r
+        frac = (r.n_clamped_low + r.n_clamped_high) / r.n
+        assert frac <= 0.12, r  # 5% per tail + interpolation slack
+
+
+def test_link_prediction_pairs_are_nonadjacent(spark):
+    """Predicted pairs must not be existing edges and must share at least
+    one (capped-degree) common neighbor."""
+    out = SPECS["graph_link_prediction"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r.u < r.v
+        assert r.n_common >= 1
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.aa_score_q > 0
