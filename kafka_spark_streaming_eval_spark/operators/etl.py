@@ -366,3 +366,79 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change")
     )
     return tagged.groupBy("change").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_referential_audit",
+    "etl",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_child_rows,
+           (SELECT count(*) FROM lineitem l
+            ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s
+            ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey)
+    """,
+)
+def etl_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key conformance audit: orphan counts for every declared
+    parent-child relationship, one row per FK — the gate a warehouse runs
+    before publishing a partition (an orphaned fact row silently vanishes
+    from every inner join downstream, which is far worse than failing
+    loudly here).
+
+    Plan shape: each FK is a left-anti join + count.  The dimension-parent
+    checks broadcast (nation); the fact-fact check (lineitem->orders)
+    shuffles on the key like any equi-join and benefits from the same
+    bucketing as the production joins.  At 100 TB you run this
+    incrementally per ingested partition, not over history — the plan is
+    unchanged, only the scan narrows."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+
+    def audit(label, child, parent, cond):
+        orphans = child.join(parent, cond, "left_anti")
+        return child.agg(F.count(F.lit(1)).alias("n_child_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(F.lit(label).alias("fk"), "n_child_rows", "n_orphans")
+
+    return (
+        audit("lineitem.l_orderkey -> orders", li, o, li.l_orderkey == o.o_orderkey)
+        .unionByName(
+            audit("orders.o_custkey -> customer", o, c, o.o_custkey == c.c_custkey)
+        )
+        .unionByName(
+            audit(
+                "customer.c_nationkey -> nation", c, n,
+                c.c_nationkey == n.n_nationkey,
+            )
+        )
+        .unionByName(
+            audit(
+                "supplier.s_nationkey -> nation", s, n,
+                s.s_nationkey == n.n_nationkey,
+            )
+        )
+    )

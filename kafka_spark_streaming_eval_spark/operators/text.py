@@ -976,3 +976,108 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= BM25_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation extraction (association strength without logarithms)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 20
+COLLOC_TOPK = 15
+
+
+@register(
+    "text_collocation_lift",
+    "text-analysis",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             unnest(range(0, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT token AS w1,
+             lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ),
+    bi AS (SELECT w1, w2 FROM bigrams WHERE w2 IS NOT NULL),
+    uni AS (SELECT token AS w, count(*) AS n_w FROM toks GROUP BY token),
+    tot AS (
+      SELECT (SELECT count(*) FROM toks) AS n_uni,
+             (SELECT count(*) FROM bi) AS n_bi
+    ),
+    pairs AS (
+      SELECT w1, w2, count(*) AS n_xy FROM bi GROUP BY w1, w2
+      HAVING count(*) >= {COLLOC_MIN_COUNT}
+    )
+    SELECT p.w1, p.w2, p.n_xy,
+           round(((p.n_xy * 1.0 * t.n_uni) * t.n_uni)
+                 / ((t.n_bi * 1.0 * u1.n_w) * u2.n_w), 6) AS lift
+    FROM pairs p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN tot t
+    QUALIFY row_number() OVER (ORDER BY lift DESC, p.w1, p.w2) <= {COLLOC_TOPK}
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-{COLLOC_TOPK} adjacent word pairs by
+    LIFT — P(xy) / (P(x)P(y)) — the association measure behind phrase
+    detection in training-corpus preprocessing (merge 'new york'-style
+    pairs into single tokens before tokenizer training).  Lift is the
+    log-free core of PMI: same ranking, but pure rational arithmetic on
+    exact counts (a libm log2 would risk last-ulp cross-engine drift), and
+    the {COLLOC_MIN_COUNT}-occurrence floor is the standard guard against
+    rare-pair lift explosion.
+
+    Plan shape: bigrams via one per-doc ordinal window (state bounded per
+    document), unigram/pair counts map-side combinable; the scalar totals
+    and the vocabulary join sides are broadcast.  At 100 TB this is two
+    keyed aggregations over the token stream plus a top-k — no all-pairs
+    anything."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select(
+            F.col("token").alias("w1"), F.lead("token").over(wd).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    uni = toks.groupBy(F.col("token").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_w")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    pairs = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= COLLOC_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                ((F.col("n_xy") * 1.0 * F.col("n_uni")) * F.col("n_uni"))
+                / ((F.col("n_bi") * 1.0 * F.col("n_w1")) * F.col("n_w2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    wr = W.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= COLLOC_TOPK)
+        .drop("rn")
+    )
