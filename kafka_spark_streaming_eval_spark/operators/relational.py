@@ -3124,3 +3124,59 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") >= F.col("true_n")).alias("cm_never_undercounts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate-quantile sketch accuracy contract
+# ---------------------------------------------------------------------------
+
+AQ_ACCURACY = 100  # percentile_approx accuracy -> rank error <= 1/100
+
+
+@register(
+    "agg_approx_quantile_contract",
+    "relational",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS exact_median,
+           TRUE AS approx_rank_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy as a hash-checkable contract: the
+    Greenwald-Khanna guarantee is a RANK error bound (<= 1/accuracy), so
+    the Spark side computes `percentile_approx`'s median estimate, measures
+    the estimate's TRUE rank with an exact second pass, and emits the
+    rank-within-bound flag next to the exact median — the oracle asserts
+    the flag (same pattern as `agg_approx_distinct`; the raw sketch value
+    is implementation-specific and never enters the hash).
+
+    Why it matters at 100 TB: `percentile_approx` is the streaming/metrics
+    quantile path (`ref_flagship`'s streaming twin uses it per batch);
+    this row keeps its error guarantee continuously verified instead of
+    assumed.  Plan: two grouped aggregations + a 5-row broadcast back —
+    the verification pass is the expensive half, which is exactly why
+    production runs the sketch and audits sample groups."""
+    ev = _t(spark, sf_dir, "events")
+    apx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(AQ_ACCURACY)).alias("am"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_median"),
+    )
+    ranked = (
+        ev.join(F.broadcast(apx), "event_type")
+        .groupBy("event_type", "n", "exact_median")
+        .agg(
+            (
+                F.abs(
+                    F.count_if(F.col("value") <= F.col("am")) / F.first("n")
+                    - 0.5
+                )
+                <= 1.0 / AQ_ACCURACY + 1.0 / F.first("n")
+            ).alias("approx_rank_ok")
+        )
+    )
+    return ranked.select("event_type", "n", "exact_median", "approx_rank_ok")

@@ -260,3 +260,45 @@ def test_stratified_split_map_only_before_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_injected(spark, tmp_path):
+    """Partition-pruning at runtime: joining a PARTITIONED fact table
+    against a dimension carrying a selective filter must inject a dynamic
+    pruning subquery into the fact scan (DPP) — at 100 TB this skips
+    whole partitions of the fact side based on the dim filter's join keys,
+    the partition-level complement of the bloom-filter row test above."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_eval_spark.catalog import table
+
+    fact_dir = str(tmp_path / "events_by_type")
+    table(spark, SF_DIR, "events").write.partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # the selective predicate sits on a DERIVED column, not the join key, so
+    # it cannot be statically pushed into the fact scan — only DPP can prune
+    dim = (
+        table(spark, SF_DIR, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("first_char", F.substring("event_type", 1, 1))
+        .where(F.col("first_char") == "p")
+    )
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", None)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false"
+        )
+        j = fact.join(dim, "event_type").groupBy("event_type").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower() or "SubqueryAdaptiveBroadcast" in plan, plan[:3000]
+        assert j.collect()[0]["event_type"] == "purchase"
+    finally:
+        if saved is None:
+            spark.conf.unset(
+                "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", saved
+            )
