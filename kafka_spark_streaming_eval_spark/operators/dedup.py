@@ -368,43 +368,35 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_simhash",
-    "dedup",
-    oracle="""
-    WITH words AS (
-      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
-      FROM documents
-    ),
-    bits AS (
-      SELECT doc_id, p.pos,
-             sum(CASE WHEN strpos('0123456789abcdef', substr(md5(w), p.pos + 1, 1)) - 1 >= 8
-                      THEN 1 ELSE -1 END) AS vote
-      FROM words, (SELECT unnest(generate_series(0, 31)) AS pos) p
-      WHERE w <> ''
-      GROUP BY doc_id, p.pos
-    )
+def _simhash_sql(src: str = "documents") -> str:
+    """DuckDB SQL computing (doc_id, simhash32) over ``src`` — the exact
+    mirror of :func:`simhash_fingerprints`, shared by the fingerprint and
+    Hamming-radius queries so the scheme lives in one place."""
+    return f"""
     SELECT doc_id,
            CAST(sum(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END)
                 AS BIGINT) AS simhash32
-    FROM bits GROUP BY doc_id
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash: bit j of a word's md5 (top bit of hex digit j) votes
-    +-1; the fingerprint takes the majority per position.  Near-duplicate
-    docs land within a small Hamming distance — at scale, bucket on 8-bit
-    chunks of the fingerprint for candidate generation (same banding idea
-    as LSH).
+    FROM (
+      SELECT doc_id, p.pos,
+             sum(CASE WHEN strpos('0123456789abcdef', substr(md5(w), p.pos + 1, 1)) - 1 >= 8
+                      THEN 1 ELSE -1 END) AS vote
+      FROM (
+        SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM {src}
+      ), (SELECT unnest(generate_series(0, 31)) AS pos) p
+      WHERE w <> ''
+      GROUP BY doc_id, p.pos
+    )
+    GROUP BY doc_id
+    """
 
-    Oracle note (round-1 hash mismatch, fixed): DuckDB ``sum(BIGINT)``
-    returns HUGEINT, which pandas fetches as float64 while Spark's sum is
-    int64 — values were equal but the driver's value-hash distinguishes
-    ``123`` from ``123.0``.  The oracle now casts the sum back to BIGINT so
-    both engines emit int64."""
-    d = _docs(spark, sf_dir)
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash32): bit j of a word's md5 (top
+    bit of hex digit j) votes +-1; the fingerprint takes the majority per
+    position.  One explode + two keyed aggregations, no pairs."""
     words = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .where(F.col("w") != "")
         .distinct()
     )
@@ -430,6 +422,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simhash32")
     )
+
+
+@register(
+    "dedup_simhash",
+    "dedup",
+    oracle=_simhash_sql("documents"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: bit j of a word's md5 (top bit of hex digit j) votes
+    +-1; the fingerprint takes the majority per position.  Near-duplicate
+    docs land within a small Hamming distance — at scale, bucket on 8-bit
+    chunks of the fingerprint for candidate generation (same banding idea
+    as LSH).
+
+    Oracle note (round-1 hash mismatch, fixed): DuckDB ``sum(BIGINT)``
+    returns HUGEINT, which pandas fetches as float64 while Spark's sum is
+    int64 — values were equal but the driver's value-hash distinguishes
+    ``123`` from ``123.0``.  The oracle now casts the sum back to BIGINT so
+    both engines emit int64."""
+    return simhash_fingerprints(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -1012,4 +1024,119 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("band") / 10.0, 1).alias("band_lo"),
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_at_or_above"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-radius candidate search (pigeonhole blocks)
+# ---------------------------------------------------------------------------
+
+SH_HAMMING_RADIUS = 3  # 4 blocks guarantee recall for distance <= 3
+SH_BLOCK_CAP = 64  # bucket cap, same rationale as LSH_BUCKET_CAP
+SH_PLANT_EVERY = 50
+SH_PLANT_OFFSET = 5_000_000
+
+_SH_PLANTED_SRC = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {SH_PLANT_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 1,
+             len(string_split(text, ' ')) - 1), ' ')
+  FROM documents WHERE doc_id % {SH_PLANT_EVERY} = 0
+)"""
+
+_SH_BLOCKS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, simhash32, {b} AS blk,"
+    f" (simhash32 >> {8 * b}) & 255 AS v FROM sh"
+    for b in range(4)
+)
+
+
+@register(
+    "dedup_simhash_hamming",
+    "dedup",
+    oracle=f"""
+    WITH sh AS ({_simhash_sql(_SH_PLANTED_SRC)}),
+    blocks AS ({_SH_BLOCKS_SQL}),
+    capped AS (
+      SELECT * FROM blocks
+      QUALIFY row_number() OVER (PARTITION BY blk, v ORDER BY doc_id)
+              <= {SH_BLOCK_CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash32 AS sa, b.simhash32 AS sb
+      FROM capped a JOIN capped b
+        ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= {SH_HAMMING_RADIUS}
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup retrieval at Hamming radius {SH_HAMMING_RADIUS}
+    via the pigeonhole block trick: split the 32-bit fingerprint into 4
+    8-bit blocks — any two fingerprints within distance 3 must agree on at
+    least one WHOLE block, so candidate pairs come from equi-joins on
+    (block_id, block_value) buckets and only candidates pay the exact
+    bit_count(xor) check.  This is the classic web-scale simhash dedup
+    layout (block-partitioned fingerprint tables, no all-pairs scan);
+    buckets are capped at {SH_BLOCK_CAP} like the LSH path, mirrored in
+    the oracle.  Every {SH_PLANT_EVERY}th doc plants a one-token-shorter
+    copy so the positive path is exercised on the synthetic corpus
+    (a dropped word flips only the bits where that word's vote was
+    decisive — a small, nonzero Hamming distance).
+
+    Scale: fingerprints are one explode + two keyed aggregations per doc;
+    the block join shuffles 12-byte rows on an 8-bit-keyed space, and the
+    verification is O(candidates)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") % SH_PLANT_EVERY == 0).select(
+        (F.col("doc_id") + SH_PLANT_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    sh = simhash_fingerprints(corpus)
+    blocks = sh.select(
+        "doc_id",
+        "simhash32",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.expr(f"shiftright(simhash32, {8 * b}) & 255").alias("v"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash32", F.col("bv.blk").alias("blk"), F.col("bv.v").alias("v"))
+    bucket_w = W.partitionBy("blk", "v").orderBy("doc_id")
+    capped = (
+        blocks.withColumn("rn", F.row_number().over(bucket_w))
+        .where(F.col("rn") <= SH_BLOCK_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("blk"), F.col("v"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash32").alias("sa"),
+    )
+    b = capped.select(
+        F.col("blk"), F.col("v"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash32").alias("sb"),
+    )
+    pairs = (
+        a.join(b, ["blk", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("sa ^ sb"))
+    return (
+        pairs.where(ham <= SH_HAMMING_RADIUS)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
