@@ -1081,3 +1081,140 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= COLLOC_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style merge training (word-level, 2 rounds, engine-owned loop body)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    return f"""
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM {src}, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    """
+
+
+def _bpe_top_sql(pairs: str) -> str:
+    return f"""
+      SELECT w1, w2, count(*) AS n FROM ({pairs})
+      WHERE w1 <> w2
+      GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 1
+    """
+
+
+def _bpe_merge_sql(src: str, top: str) -> str:
+    # With w1 <> w2 pinned at selection time, matches can never overlap, so
+    # "apply the merge" is a simultaneous index filter+transform: drop every
+    # position that is the second half of a match, rewrite every match start.
+    return f"""
+      SELECT doc_id,
+             list_transform(
+               list_filter(generate_series(1, len(t)),
+                 i -> NOT (i >= 2 AND t[i - 1] = k.w1 AND t[i] = k.w2)),
+               i -> CASE WHEN t[i] = k.w1 AND t[i + 1] = k.w2
+                         THEN k.w1 || '_' || k.w2 ELSE t[i] END) AS t
+      FROM {src}, ({top}) k
+    """
+
+
+@register(
+    "text_bpe_train_merges",
+    "text-analysis",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    top1 AS ({_bpe_top_sql(_bpe_pairs_sql('t0'))}),
+    t1 AS ({_bpe_merge_sql('t0', 'SELECT * FROM top1')}),
+    top2 AS ({_bpe_top_sql(_bpe_pairs_sql('t1'))}),
+    t2 AS ({_bpe_merge_sql('t1', 'SELECT * FROM top2')})
+    SELECT 1 AS round, w1 || '_' || w2 AS merged_pair,
+           CAST(n AS BIGINT) AS pair_count,
+           (SELECT CAST(sum(len(t)) AS BIGINT) FROM t1) AS corpus_tokens_after
+    FROM top1
+    UNION ALL
+    SELECT 2, w1 || '_' || w2, CAST(n AS BIGINT),
+           (SELECT CAST(sum(len(t)) AS BIGINT) FROM t2)
+    FROM top2
+    """,
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of BPE-style merge training at the word level: count
+    adjacent token pairs corpus-wide, pick the most frequent pair
+    (count DESC, pair lexicographic — pinned tie-break), REWRITE the
+    corpus merging that pair into one token, and repeat on the merged
+    corpus — the actual training loop of BPE/word2phrase tokenizers, not
+    just one pass of pair counting (`text_bpe_pair_counts`).  Self-pairs
+    are excluded at selection time, which makes all matches of the chosen
+    pair non-overlapping, so "apply the merges" is a simultaneous
+    index-level ``filter``+``transform`` over each token array — no
+    stateful scan, no UDF.  Out-of-bounds lookahead uses ``try_element_at``
+    (NULL, matching the oracle's list indexing) instead of ANSI-throwing
+    subscripts.
+
+    Plan shape for 100 TB: each round is one pair-count aggregation
+    (map-side combinable), a 1-row top-1 broadcast back (no collect), and
+    a map-only rewrite.  A real trainer iterates this to thousands of
+    merges with the rewritten corpus persisted between rounds — the same
+    driver-loop shape as `graph_pagerank_trade`."""
+    d = _docs(spark, sf_dir)
+    t0 = d.select("doc_id", F.split("text", " ").alias("t"))
+
+    def pairs_of(df):
+        idx = F.explode(
+            F.when(
+                F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+            ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+        ).alias("i")
+        return df.select("t", idx).select(
+            F.try_element_at("t", F.col("i")).alias("w1"),
+            F.try_element_at("t", F.col("i") + 1).alias("w2"),
+        )
+
+    def top_of(pairs):
+        return (
+            pairs.where(F.col("w1") != F.col("w2"))
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "w1", "w2")
+            .limit(1)
+        )
+
+    def merge(df, top):
+        t, w1, w2 = F.col("t"), F.col("w1"), F.col("w2")
+        keep = F.filter(
+            F.sequence(F.lit(1), F.size("t")),
+            lambda i: ~(
+                (i >= 2)
+                & (F.try_element_at(t, i - 1) == w1)
+                & (F.try_element_at(t, i) == w2)
+            ),
+        )
+        rewrite = F.transform(
+            keep,
+            lambda i: F.when(
+                (F.try_element_at(t, i) == w1)
+                & (F.try_element_at(t, i + 1) == w2),
+                F.concat(w1, F.lit("_"), w2),
+            ).otherwise(F.try_element_at(t, i)),
+        )
+        return df.crossJoin(F.broadcast(top)).select(
+            "doc_id", rewrite.alias("t")
+        )
+
+    top1 = top_of(pairs_of(t0))
+    t1 = merge(t0, top1)
+    top2 = top_of(pairs_of(t1))
+    t2 = merge(t1, top2)
+
+    def summary(round_no, top, merged_corpus):
+        toks_after = merged_corpus.agg(
+            F.sum(F.size("t")).alias("corpus_tokens_after")
+        )
+        return top.crossJoin(F.broadcast(toks_after)).select(
+            F.lit(round_no).alias("round"),
+            F.concat("w1", F.lit("_"), "w2").alias("merged_pair"),
+            F.col("n").alias("pair_count"),
+            "corpus_tokens_after",
+        )
+
+    return summary(1, top1, t1).unionByName(summary(2, top2, t2))

@@ -476,3 +476,19 @@ def test_link_prediction_pairs_are_nonadjacent(spark):
         assert r.n_common >= 1
         assert 0.0 < r.jaccard <= 1.0
         assert r.aa_score_q > 0
+
+
+def test_bpe_train_merges_conservation(spark, tmp_path):
+    """Each merge round removes exactly pair_count tokens, and the chosen
+    pair on a planted corpus is the known most-frequent adjacent pair."""
+    rows = [
+        (i, "x y x y z w " + " ".join(f"u{i}_{j}" for j in range(4)), "en", "s")
+        for i in range(6)
+    ]
+    _write_docs(tmp_path / "documents.parquet", rows)
+    out = {r.round: r for r in SPECS["text_bpe_train_merges"].fn(spark, str(tmp_path)).collect()}
+    tokens_before = sum(len(r[1].split(" ")) for r in rows)
+    assert out[1].merged_pair == "x_y"  # 2 occurrences per doc, 12 total
+    assert out[1].pair_count == 12
+    assert out[1].corpus_tokens_after == tokens_before - 12
+    assert out[2].corpus_tokens_after == out[1].corpus_tokens_after - out[2].pair_count
