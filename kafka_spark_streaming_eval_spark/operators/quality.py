@@ -484,3 +484,62 @@ def quality_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_sum", "winsorized_mean",
         F.col("lo").alias("p05"), F.col("hi").alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity indices (log-free: Gini impurity / inverse Simpson)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_diversity_index",
+    "relational",
+    oracle="""
+    WITH cls AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total,
+                   CAST(sum(n * n) AS BIGINT) AS sum_sq,
+                   count(*) AS n_classes
+            FROM cls GROUP BY source)
+    SELECT source, total AS n_docs, n_classes,
+           round(1.0 - (sum_sq * 1.0) / (total * 1.0 * total), 6)
+             AS gini_impurity,
+           round((total * 1.0 * total) / (sum_sq * 1.0), 6)
+             AS effective_classes
+    FROM tot
+    """,
+)
+def agg_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition diversity per source: Gini impurity
+    (1 - sum p_i^2 over language shares) and the inverse Simpson index
+    (1 / sum p_i^2 — the "effective number of languages").  These are the
+    log-free diversity measures: Shannon entropy needs a libm log whose
+    last-ulp can differ cross-engine, while Gini/Simpson are pure rational
+    arithmetic on exact counts — the same determinism reasoning as
+    `text_collocation_lift`'s lift-vs-PMI choice.  A data-mixing pipeline
+    watches exactly this number to keep a source from collapsing to one
+    dominant language/domain.
+
+    Plan: two keyed aggregations (class counts, then per-source moments) —
+    map-side combinable, output one row per source at any scale."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    cls = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cls.groupBy("source").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+    total, sum_sq = F.col("total"), F.col("sum_sq")
+    return tot.select(
+        "source",
+        total.alias("n_docs"),
+        "n_classes",
+        F.round(1.0 - (sum_sq * 1.0) / (total * 1.0 * total), 6).alias(
+            "gini_impurity"
+        ),
+        F.round((total * 1.0 * total) / (sum_sq * 1.0), 6).alias(
+            "effective_classes"
+        ),
+    )

@@ -3180,3 +3180,83 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked.select("event_type", "n", "exact_median", "approx_rank_ok")
+
+
+# ---------------------------------------------------------------------------
+# Rolling (windowed) correlation from decimal-exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rolling_corr",
+    "relational",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*) AS x, {dsum_sql('value')} AS y
+      FROM {_EV} GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, day,
+             CAST(count(*) OVER w AS DOUBLE) AS c,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS syy
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, epoch_ms(day) AS day_ms,
+           round(CASE WHEN (c*sxx - sx*sx) * (c*syy - sy*sy) > 0
+                      THEN (c*sxy - sx*sy)
+                           / sqrt((c*sxx - sx*sx) * (c*syy - sy*sy)) END,
+                 6) AS corr7
+    FROM m
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between a day's event count and its value
+    total, per event type — windowed bivariate statistics for time-series
+    feature engineering, built the `agg_corr_deterministic` way: the five
+    moment sums accumulate as DECIMAL over an explicit ROWS frame (exact,
+    order-independent) and the closed-form combination is identical IEEE
+    arithmetic on both engines (sqrt is correctly-rounded everywhere; no
+    libm estimator enters).  Degenerate frames (zero variance, frame of
+    one) yield NULL via the same guarded CASE on both sides.
+
+    Plan: one daily aggregation (map-side combinable), then one window
+    pass over ~30 rows per event type — at 100 TB the window input is the
+    calendar, not the corpus."""
+    ev = table(prep(spark), sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"), dsum("value").alias("y"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+
+    def msum(expr):
+        return F.sum(expr.cast(DEC)).over(w).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    m = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("c"),
+        msum(x).alias("sx"),
+        msum(y).alias("sy"),
+        msum(x * y).alias("sxy"),
+        msum(x * x).alias("sxx"),
+        msum(y * y).alias("syy"),
+    )
+    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    var_prod = (c * sxx - sx * sx) * (c * syy - sy * sy)
+    return m.select(
+        "event_type",
+        F.unix_millis("day").alias("day_ms"),
+        F.round(
+            F.when(var_prod > 0, (c * sxy - sx * sy) / F.sqrt(var_prod)),
+            6,
+        ).alias("corr7"),
+    )
