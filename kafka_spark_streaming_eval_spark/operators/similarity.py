@@ -860,3 +860,109 @@ def sim_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{MRL_TOP}"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + cosine (semantic) fused by RRF
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_GRID = 1_000_000_000_000  # quantization grid for 1/(k+rank) terms
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from kafka_spark_streaming_eval_spark.operators.text import _BM25_SQL
+
+    c_lex = f"CAST(floor({RRF_GRID} / ({RRF_K} + l.rank_lex)) AS BIGINT)"
+    c_sem = f"CAST(floor({RRF_GRID} / ({RRF_K} + s.rank_sem)) AS BIGINT)"
+    return f"""
+    WITH lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+      FROM ({_BM25_SQL})
+    ),
+    v AS (SELECT vec_id, embedding, {_NORM_SQL} AS nrm FROM embeddings),
+    sem AS (
+      SELECT b.vec_id AS id,
+             row_number() OVER (
+               ORDER BY round({_DOT_AB_SQL} / (a.nrm * b.nrm), 6) DESC,
+                        b.vec_id) AS rank_sem
+      FROM (SELECT * FROM v WHERE vec_id = 0) a
+      JOIN v b ON b.vec_id <> 0
+      QUALIFY rank_sem <= {RRF_TOPK}
+    )
+    SELECT coalesce(l.id, s.id) AS id,
+           CAST(l.rank_lex AS DOUBLE) AS rank_lex,
+           CAST(s.rank_sem AS DOUBLE) AS rank_sem,
+           coalesce({c_lex}, 0) + coalesce({c_sem}, 0) AS rrf_q
+    FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+    QUALIFY row_number()
+            OVER (ORDER BY coalesce({c_lex}, 0) + coalesce({c_sem}, 0) DESC,
+                  coalesce(l.id, s.id)) <= {RRF_TOPK}
+    """
+
+
+@register("sim_hybrid_rrf", "similarity", oracle=_rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking
+    (`text_bm25_search`, standing keyword query) with a semantic cosine
+    ranking against probe vector 0 by Reciprocal Rank Fusion — the
+    standard way production search combines keyword and vector indexes
+    without comparable scores.  RRF's 1/(k+rank) terms are order-sensitive
+    float sums, so each contribution is quantized to floor(1e12/(k+rank))
+    and summed as BIGINT (exact, engine-identical — the PageRank grid
+    trick); documents and vectors align on doc_id == vec_id.  Ranks leave
+    as doubles (nullable ints would drift dtype under pandas on either
+    engine).
+
+    Scale: each leg is its own bounded top-k (postings-filtered BM25,
+    1-probe brute-force here / IVF at scale); the fusion is a full-outer
+    join of two k-row tables — free.  No score normalization, no joint
+    index."""
+    from kafka_spark_streaming_eval_spark.operators.text import text_bm25_search
+
+    lex = text_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("rank_lex"),
+    )
+    v = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("nrm")
+    )
+    probe = v.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+        6,
+    )
+    sem = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(F.col("vec_id").alias("id"), cos.alias("cosine"))
+        .withColumn(
+            "rank_sem",
+            F.row_number().over(W.orderBy(F.col("cosine").desc(), "id")),
+        )
+        .where(F.col("rank_sem") <= RRF_TOPK)
+        .select("id", "rank_sem")
+    )
+    fused = lex.join(sem, "id", "full_outer")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(RRF_GRID) / (F.lit(RRF_K) + F.col(r))).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    scored = fused.select(
+        "id",
+        F.col("rank_lex").cast("double").alias("rank_lex"),
+        F.col("rank_sem").cast("double").alias("rank_sem"),
+        (contrib("rank_lex") + contrib("rank_sem")).alias("rrf_q"),
+    )
+    wr = W.orderBy(F.col("rrf_q").desc(), "id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= RRF_TOPK)
+        .drop("rn")
+    )

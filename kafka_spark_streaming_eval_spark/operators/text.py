@@ -877,11 +877,8 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
 
-
-@register(
-    "text_bm25_search",
-    "text-analysis",
-    oracle=f"""
+# Shared by text_bm25_search and the hybrid-RRF fusion oracle.
+_BM25_SQL = f"""
     WITH dl AS (
       SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
     ),
@@ -916,7 +913,13 @@ BM25_TOPK = 10
     FROM scored
     GROUP BY doc_id
     QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= {BM25_TOPK}
-    """,
+"""
+
+
+@register(
+    "text_bm25_search",
+    "text-analysis",
+    oracle=_BM25_SQL,
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: top-{BM25_TOPK} documents for a standing
