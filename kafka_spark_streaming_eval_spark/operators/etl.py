@@ -442,3 +442,59 @@ def etl_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten deletion audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "etl_forget_users_audit",
+    "etl",
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0'
+    )
+    SELECT e.event_type,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE f.user_id IS NOT NULL) AS n_deleted,
+           count(*) FILTER (WHERE f.user_id IS NULL) AS n_retained,
+           count(DISTINCT e.user_id) FILTER (WHERE f.user_id IS NOT NULL)
+             AS n_forgotten_users
+    FROM events e LEFT JOIN forget f ON e.user_id = f.user_id
+    GROUP BY e.event_type
+    """,
+)
+def etl_forget_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion audit: given a deletion list (here a
+    deterministic md5 slice of users standing in for the request queue),
+    report per event type how many rows the purge removes vs retains and
+    how many distinct users disappear — the compliance accounting every
+    data-retention pipeline emits alongside the actual delete.  The delete
+    itself is the same broadcast anti-join (`events LEFT ANTI JOIN
+    forget`); auditing with a left join + conditional counts costs one
+    scan and shows both sides at once.
+
+    Scale: the deletion list is tiny relative to the corpus — broadcast;
+    the fact side stays map-only into the final 5-group aggregation.  At
+    100 TB the purge runs per-partition with dynamic overwrite
+    (`etl_partition_overwrite_dynamic` is the write half)."""
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    forget = (
+        ev.select("user_id")
+        .distinct()
+        .where(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0")
+    )
+    f = forget.select(F.col("user_id").alias("f_user"))
+    joined = ev.join(F.broadcast(f), ev.user_id == f.f_user, "left")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("f_user").isNotNull()).alias("n_deleted"),
+        F.count_if(F.col("f_user").isNull()).alias("n_retained"),
+        F.count_distinct(
+            F.when(F.col("f_user").isNotNull(), F.col("user_id"))
+        ).alias("n_forgotten_users"),
+    )
