@@ -692,3 +692,67 @@ def stream_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFr
         F.unix_millis(F.col("last.ts")).alias("last_ts_ms"),
         F.col("last.value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateness audit — choosing the watermark from historical disorder
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_lateness_audit",
+    "streaming",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_water
+      FROM {_EV}
+    ),
+    late AS (
+      SELECT event_type,
+             CAST(epoch_ms(high_water) - epoch_ms(ts) AS BIGINT) AS lateness_ms
+      FROM arr
+    )
+    SELECT event_type,
+           count(*) AS n,
+           max(lateness_ms) AS max_lateness_ms,
+           count(*) FILTER (WHERE lateness_ms > 60000) AS late_1m,
+           count(*) FILTER (WHERE lateness_ms > 600000) AS late_10m,
+           count(*) FILTER (WHERE lateness_ms > 3600000) AS late_1h
+    FROM late
+    GROUP BY event_type
+    """,
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit for watermark selection: treating event_id as
+    arrival order, track the running event-time high-water mark and count,
+    per event type, how many rows arrive more than 1 min / 10 min / 1 h
+    behind it — exactly the rows `withWatermark` at each delay would drop.
+    This is the batch query an operator runs over history BEFORE picking
+    the streaming pipeline's watermark (`stream_tumbling_counts` and
+    friends consume the chosen delay); max_lateness_ms is the zero-loss
+    bound.
+
+    Scale note: the running max is a single unpartitioned ordered window —
+    correct for a global arrival sequence, and cheap because it streams
+    (one pass, no buffering beyond the frame).  With per-source streams,
+    partition the window by source and the shuffle keys by it."""
+    from pyspark.sql import Window as W
+
+    ev = events_ts_ms(table(prep(spark), sf_dir, "events"))
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    late = ev.select(
+        "event_type",
+        (F.unix_millis(F.max("ts").over(w)) - F.unix_millis("ts")).alias(
+            "lateness_ms"
+        ),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lateness_ms").alias("max_lateness_ms"),
+        F.count_if(F.col("lateness_ms") > 60_000).alias("late_1m"),
+        F.count_if(F.col("lateness_ms") > 600_000).alias("late_10m"),
+        F.count_if(F.col("lateness_ms") > 3_600_000).alias("late_1h"),
+    )
