@@ -3260,3 +3260,42 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise fold aggregates (bitmap-index building blocks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitwise_fold",
+    "relational",
+    oracle="""
+    SELECT event_type,
+           bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS user_bucket_bitmap,
+           bit_and(CAST(user_id % 256 AS BIGINT) | 240) AS common_high_nibble,
+           bit_xor(CAST(user_id AS BIGINT)) AS id_parity_fold,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitwise_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate folds: OR builds a 32-slot membership bitmap of
+    user-id buckets per event type (the building block of bitmap indexes
+    and roaring-style segment summaries), AND extracts bit positions
+    common to every row, XOR folds ids into a parity checksum (a cheap
+    order-independent integrity probe for replication audits).  All three
+    are associative/commutative integer folds — map-side combinable,
+    partition-order-independent, exact on both engines by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("user_bucket_bitmap"),
+        F.bit_and(
+            (F.col("user_id") % 256).cast("long").bitwiseOR(F.lit(240))
+        ).alias("common_high_nibble"),
+        F.bit_xor(F.col("user_id").cast("long")).alias("id_parity_fold"),
+        F.count(F.lit(1)).alias("n"),
+    )
