@@ -258,7 +258,8 @@ N_PROBE = 2  # IVF cells probed per query
     ),
     cent AS (
       SELECT label, d,
-             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS c
+             CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS c
       FROM dims GROUP BY label, d
     ),
     centv AS (
@@ -315,14 +316,21 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning).  Complements the LSH path: IVF recall degrades gracefully via
     N_PROBE instead of N_PLANES.
 
-    Determinism: float -> DECIMAL(38,6) rounding is unambiguous (no binary
-    float sits on a decimal midpoint), so centroids are bit-identical on
-    both engines; all similarities round to 6 dp before ranking with full
+    Determinism: centroid means quantize each coordinate on the integer
+    floor grid before summing — floor of the identical double is tie-free,
+    where a float -> DECIMAL(38,6) cast is NOT (Spark rounds the float's
+    shortest decimal repr, DuckDB the exact binary value; a float32 whose
+    7th significant digit is the '5' midpoint diverges — found while
+    building `sim_kmeans_lloyd`).  Centroids are therefore bit-identical
+    on both engines; similarities round to 6 dp before ranking with full
     tie-breaks."""
     e = _emb(spark, sf_dir)
     dims = e.select("label", F.posexplode("embedding").alias("d", "x"))
     cent = dims.groupBy("label", "d").agg(
-        (F.sum(F.col("x").cast("decimal(38,6)")).cast("double") / F.count("x")).alias("c")
+        (
+            F.sum(F.floor(F.col("x").cast("double") * 1000000).cast("long")).cast("double")
+            / (F.count("x") * 1000000.0)
+        ).alias("c")
     )
     centv = (
         cent.groupBy("label")
@@ -966,3 +974,154 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= RRF_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means (2 iterations, engine-owned clustering loop)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KM_GRID = 1_000_000  # inertia quantization grid (floor(d2 * 1e6) per point)
+
+_KM_D2 = """
+    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+             * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])),
+      (a, b) -> a + b)
+"""
+
+
+def _km_assign_sql(vecs: str, cents: str) -> str:
+    return f"""
+      SELECT e.vec_id, e.embedding, c.cent_id, {_KM_D2} AS d2
+      FROM {vecs} e CROSS JOIN {cents} c
+      QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_KM_D2}, c.cent_id) = 1
+    """
+
+
+def _km_update_sql(assigned: str) -> str:
+    return f"""
+      SELECT cent_id, list(c ORDER BY d) AS cent
+      FROM (
+        SELECT cent_id, d,
+               CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS c
+        FROM (
+          SELECT cent_id, generate_subscripts(embedding, 1) AS d,
+                 unnest(embedding) AS x
+          FROM {assigned}
+        ) GROUP BY cent_id, d
+      ) GROUP BY cent_id
+    """
+
+
+@register(
+    "sim_kmeans_lloyd",
+    "similarity",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM embeddings WHERE vec_id < {KMEANS_K}
+    ),
+    a1 AS ({_km_assign_sql('vecs', 'c0')}),
+    c1 AS ({_km_update_sql('a1')}),
+    a2 AS ({_km_assign_sql('vecs', 'c1')}),
+    c2 AS ({_km_update_sql('a2')})
+    SELECT a.cent_id,
+           count(*) AS n_members,
+           CAST(sum(CAST(floor(a.d2 * {KM_GRID}) AS BIGINT)) AS BIGINT)
+             AS inertia_q,
+           any_value(md5(array_to_string(list_transform(c2.cent,
+             x -> CAST(CAST(floor(x * 1000000) AS BIGINT) AS VARCHAR)),
+             '|'))) AS centroid_md5
+    FROM a2 a JOIN c2 ON a.cent_id = c2.cent_id
+    GROUP BY a.cent_id
+    """,
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, two synchronous iterations, entirely as relational
+    plans: seed {KMEANS_K} centroids from the smallest vec_ids, assign each
+    vector to its nearest centroid (squared-L2 fold, ties to the lower
+    cent_id), recompute per-dimension decimal-exact means, and repeat —
+    the clustering loop that PRODUCES the coarse quantizer `sim_ivf_topk`
+    consumes as its `label` column.  Determinism: distances are identical
+    left-fold IEEE arithmetic on both engines, centroid means use the IVF
+    decimal trick, and per-cluster inertia is quantized to an integer grid
+    before summing (order-independent); the learned centroids leave as a
+    fixed-point md5 fingerprint.
+
+    Scale shape per iteration: centroids broadcast against the corpus
+    (K x N distance rows, map-side), assignment is a per-vector top-1
+    window, the update is one (cent_id, dim) aggregation — the standard
+    distributed k-means superstep; a real run iterates to convergence with
+    the assignment persisted between rounds."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    c0 = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cent"),
+    )
+
+    def assign(cents):
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("cent"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        j = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "cent_id", d2.alias("d2")
+        )
+        w = W.partitionBy("vec_id").orderBy("d2", "cent_id")
+        return (
+            j.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def update(assigned):
+        dims = assigned.select(
+            "cent_id", F.posexplode("embedding").alias("d", "x")
+        )
+        cent = dims.groupBy("cent_id", "d").agg(
+            (
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1000000).cast("long")
+                ).cast("double")
+                / (F.count("x") * 1000000.0)
+            ).alias("c")
+        )
+        return cent.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cent")
+        )
+
+    a1 = assign(c0)
+    c1 = update(a1)
+    a2 = assign(c1)
+    c2 = update(a2)
+    # Fingerprint on the floor grid, not a decimal cast: a computed mean can
+    # land arbitrarily close to a 6-dp decimal midpoint, where Java's
+    # shortest-repr rounding and DuckDB's exact-binary rounding disagree in
+    # the last digit; floor of the identical double is tie-free.
+    fp = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("cent"),
+                lambda x: F.floor(x * KM_GRID).cast("long").cast("string"),
+            ),
+            "|",
+        )
+    )
+    stats = a2.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.floor(F.col("d2") * KM_GRID).cast("long")).alias("inertia_q"),
+    )
+    return stats.join(c2.select("cent_id", fp.alias("centroid_md5")), "cent_id")
