@@ -306,7 +306,7 @@ N_PROBE = 2  # IVF cells probed per query
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the ``label`` column is the coarse quantizer (at 100 TB
-    it comes from k-means over a sample); cell centroids are decimal-exact
+    it comes from k-means over a sample); cell centroids are floor-grid-exact
     per-dimension means, each query probes its {N_PROBE} nearest cells by
     centroid cosine, and exact cosine top-3 runs only inside probed cells.
 
@@ -1045,7 +1045,7 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, two synchronous iterations, entirely as relational
     plans: seed {KMEANS_K} centroids from the smallest vec_ids, assign each
     vector to its nearest centroid (squared-L2 fold, ties to the lower
-    cent_id), recompute per-dimension decimal-exact means, and repeat —
+    cent_id), recompute per-dimension floor-grid-exact means, and repeat —
     the clustering loop that PRODUCES the coarse quantizer `sim_ivf_topk`
     consumes as its `label` column.  Determinism: distances are identical
     left-fold IEEE arithmetic on both engines, centroid means use the IVF
