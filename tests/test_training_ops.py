@@ -492,3 +492,41 @@ def test_bpe_train_merges_conservation(spark, tmp_path):
     assert out[1].pair_count == 12
     assert out[1].corpus_tokens_after == tokens_before - 12
     assert out[2].corpus_tokens_after == out[1].corpus_tokens_after - out[2].pair_count
+
+
+def test_kmeans_separates_planted_clusters(spark, tmp_path):
+    """Two well-separated planted blobs (+10 on dim 0 vs -10 on dim 1):
+    after two Lloyd iterations every point sits with its blob — cluster
+    sizes reflect the plant, and inertia is tiny relative to separation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim = 8
+    vecs, labels = [], []
+    for i in range(40):
+        v = [0.0] * dim
+        jitter = ((i * 37) % 11 - 5) / 100.0  # deterministic, +-0.05
+        if i % 2 == 0:
+            v[0] = 10.0 + jitter
+        else:
+            v[1] = -10.0 + jitter
+        vecs.append(v)
+        labels.append(i % 2)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": pa.array(labels, type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = SPECS["sim_kmeans_lloyd"].fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_members for r in out) == 40
+    # the two planted blobs dominate: the two largest clusters hold all
+    # points not claimed by the other seeds, and no cluster mixes blobs
+    # (inertia per member stays at jitter scale, far below the 200+ a
+    # mixed assignment would cost: 1e6-grid inertia_q per member < 1e6)
+    for r in out:
+        assert r.inertia_q < 1_000_000 * r.n_members
