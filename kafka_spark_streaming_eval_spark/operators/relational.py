@@ -3299,3 +3299,61 @@ def agg_bitwise_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(F.col("user_id").cast("long")).alias("id_parity_fold"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_markov_transitions",
+    "relational",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM {_EV}
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / CAST(sum(n) OVER (PARTITION BY from_type)
+                                AS DOUBLE), 6) AS p
+    FROM trans
+    """,
+)
+def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    order each user's events by (ts, event_id), pair each with its
+    successor via ``lead``, count (from, to) transitions corpus-wide, and
+    normalize per source state — the behavioral model behind funnel
+    prediction and next-event recommendation.  The probability is one
+    division of exact integers (identical doubles both engines).
+
+    Plan shape: one per-user ordered window (state bounded per user — the
+    sessionization shuffle shape), one 25-cell aggregation, one tiny
+    window over the matrix itself.  At 100 TB the user-keyed window is
+    the only corpus-sized operation, and it partitions perfectly."""
+    ev = table(prep(spark), sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(wt).cast("double"), 6
+        ).alias("p"),
+    )
