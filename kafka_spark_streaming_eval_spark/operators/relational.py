@@ -3357,3 +3357,66 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 1.0 / F.sum("n").over(wt).cast("double"), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rfm_segmentation",
+    "relational",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             {dsum_sql('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score || '-' || f_score || '-' || m_score AS segment,
+           count(*) AS n_customers,
+           {dsum_sql('monetary')} AS segment_monetary
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile-score every customer on Recency
+    (last order date), Frequency (order count), and Monetary (decimal-
+    exact spend), then report per-segment population and revenue — the
+    classic customer-value grid.  Each ntile orders by (metric, custkey)
+    so bucket boundaries are fully deterministic under ties on both
+    engines.
+
+    Plan shape: one per-customer aggregation, three global ntile windows
+    over the (small) customer-summary table, one ~125-group rollup.  At
+    100 TB the windows run over customers, not orders — if even that is
+    too big for one partition, percent_rank against broadcast quantile
+    bounds is the sharded variant."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.concat_ws("-", "r_score", "f_score", "m_score").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("monetary").alias("segment_monetary"),
+    )
