@@ -432,14 +432,20 @@ def _bucket_case_sql(col: str) -> str:
       SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
       FROM documents
     )
-    SELECT {_bucket_case_sql('n_tok')} AS bucket_tokens,
-           count(*) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
-           CAST(count(*) * {_bucket_case_sql('n_tok')} AS BIGINT) AS padded_tokens,
-           round((count(*) * {_bucket_case_sql('n_tok')} - sum(n_tok)) * 1.0
-                 / (count(*) * {_bucket_case_sql('n_tok')}), 6) AS pad_waste_frac
-    FROM lens
-    GROUP BY 1
+    SELECT bucket_tokens, n_docs, sum_tokens,
+           CAST(n_docs * greatest(bucket_tokens, max_tok) AS BIGINT)
+             AS padded_tokens,
+           round((n_docs * greatest(bucket_tokens, max_tok) - sum_tokens)
+                 * 1.0 / (n_docs * greatest(bucket_tokens, max_tok)), 6)
+             AS pad_waste_frac
+    FROM (
+      SELECT {_bucket_case_sql('n_tok')} AS bucket_tokens,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             CAST(max(n_tok) AS BIGINT) AS max_tok
+      FROM lens
+      GROUP BY 1
+    )
     """,
 )
 def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,22 +466,29 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in reversed(LENGTH_BUCKETS):
         bucket = F.when(n_tok <= b, F.lit(b)).otherwise(bucket)
     g = d.select(n_tok.alias("n_tok"), bucket.alias("bucket_tokens"))
-    padded = F.count(F.lit(1)) * F.col("bucket_tokens")
+    # The overflow bucket (ELSE 8192) is a FLOOR, not a pad size: a doc
+    # longer than 8192 tokens would otherwise yield padded < sum and a
+    # negative waste fraction.  Padding to greatest(bucket, max-length in
+    # bucket) is exact for every regular bucket (max <= bucket by
+    # construction) and pad-to-longest for the overflow bucket — the
+    # accounting a dynamic batcher actually pays, and never negative.
+    pad_to = F.greatest(F.col("bucket_tokens"), F.col("max_tok"))
     return (
         g.groupBy("bucket_tokens")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("sum_tokens"),
+            F.max("n_tok").cast("long").alias("max_tok"),
         )
         .select(
             "bucket_tokens",
             "n_docs",
             "sum_tokens",
-            (F.col("n_docs") * F.col("bucket_tokens")).alias("padded_tokens"),
+            (F.col("n_docs") * pad_to).alias("padded_tokens"),
             F.round(
-                (F.col("n_docs") * F.col("bucket_tokens") - F.col("sum_tokens"))
+                (F.col("n_docs") * pad_to - F.col("sum_tokens"))
                 * 1.0
-                / (F.col("n_docs") * F.col("bucket_tokens")),
+                / (F.col("n_docs") * pad_to),
                 6,
             ).alias("pad_waste_frac"),
         )

@@ -3149,10 +3149,14 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch accuracy as a hash-checkable contract: the
     Greenwald-Khanna guarantee is a RANK error bound (<= 1/accuracy), so
     the Spark side computes `percentile_approx`'s median estimate, measures
-    the estimate's TRUE rank with an exact second pass, and emits the
-    rank-within-bound flag next to the exact median — the oracle asserts
-    the flag (same pattern as `agg_approx_distinct`; the raw sketch value
-    is implementation-specific and never enters the hash).
+    the estimate's TRUE rank INTERVAL [count(<), count(<=)] with an exact
+    second pass, and emits an interval-overlap flag next to the exact
+    median — the oracle asserts the flag (same pattern as
+    `agg_approx_distinct`; the raw sketch value is implementation-specific
+    and never enters the hash).  The interval form is the correct contract
+    under duplicated values: any element of [count(<), count(<=)] is a
+    valid rank for the estimate, so the check passes iff the interval
+    overlaps [0.5-eps, 0.5+eps].
 
     Why it matters at 100 TB: `percentile_approx` is the streaming/metrics
     quantile path (`ref_flagship`'s streaming twin uses it per batch);
@@ -3166,16 +3170,27 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("exact_median"),
     )
+    # Interval-overlap form of the GK rank-error contract: with duplicates,
+    # the estimate's rank is the whole interval [count(<), count(<=)], so
+    # requiring |count(<=)/n - 0.5| <= eps can reject a sketch that KEPT its
+    # guarantee (count(<=) is the interval's max; heavy ties at the median
+    # push it far above 0.5).  The correct check is that the rank interval
+    # OVERLAPS [0.5-eps, 0.5+eps]: count(<)/n <= 0.5+eps AND
+    # count(<=)/n >= 0.5-eps.
+    eps = 1.0 / AQ_ACCURACY
     ranked = (
         ev.join(F.broadcast(apx), "event_type")
         .groupBy("event_type", "n", "exact_median")
         .agg(
             (
-                F.abs(
-                    F.count_if(F.col("value") <= F.col("am")) / F.first("n")
-                    - 0.5
+                (
+                    F.count_if(F.col("value") < F.col("am")) / F.first("n")
+                    <= eps + 0.5 + 1.0 / F.first("n")
                 )
-                <= 1.0 / AQ_ACCURACY + 1.0 / F.first("n")
+                & (
+                    F.count_if(F.col("value") <= F.col("am")) / F.first("n")
+                    >= 0.5 - eps - 1.0 / F.first("n")
+                )
             ).alias("approx_rank_ok")
         )
     )
@@ -3199,11 +3214,19 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT event_type, day,
              CAST(count(*) OVER w AS DOUBLE) AS c,
-             CAST(sum(CAST(x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
-             CAST(sum(CAST(y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sy,
-             CAST(sum(CAST(x * y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxy,
-             CAST(sum(CAST(x * x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
-             CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER w AS DOUBLE) AS syy
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  OVER w AS DOUBLE) / 1000000.0 AS sx,
+             CAST(sum(CAST(floor(CAST(y AS DOUBLE) * 1000000) AS BIGINT))
+                  OVER w AS DOUBLE) / 1000000.0 AS sy,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                 * 1000000) AS BIGINT))
+                  OVER w AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                 * 1000000) AS BIGINT))
+                  OVER w AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(sum(CAST(floor(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                                 * 1000000) AS BIGINT))
+                  OVER w AS DOUBLE) / 1000000.0 AS syy
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -3219,12 +3242,17 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day correlation between a day's event count and its value
     total, per event type — windowed bivariate statistics for time-series
-    feature engineering, built the `agg_corr_deterministic` way: the five
-    moment sums accumulate as DECIMAL over an explicit ROWS frame (exact,
-    order-independent) and the closed-form combination is identical IEEE
-    arithmetic on both engines (sqrt is correctly-rounded everywhere; no
-    libm estimator enters).  Degenerate frames (zero variance, frame of
-    one) yield NULL via the same guarded CASE on both sides.
+    feature engineering.  The five moment sums are quantized on an integer
+    floor grid (`floor(expr * 1e6)` summed as BIGINT, divided back), the
+    `_km_update_sql` pattern: the products x*y / x*x / y*y are COMPUTED
+    doubles, and casting a computed double to DECIMAL re-introduces the
+    cross-engine cast-midpoint divergence (Spark rounds the shortest repr,
+    DuckDB the exact binary value); floor of an identical IEEE product is
+    deterministic on both engines with no midpoint to disagree on.  The
+    closed-form combination is then identical IEEE arithmetic (sqrt is
+    correctly-rounded everywhere; no libm estimator enters).  Degenerate
+    frames (zero variance, frame of one) yield NULL via the same guarded
+    CASE on both sides.
 
     Plan: one daily aggregation (map-side combinable), then one window
     pass over ~30 rows per event type — at 100 TB the window input is the
@@ -3236,9 +3264,16 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
 
     def msum(expr):
-        return F.sum(expr.cast(DEC)).over(w).cast("double")
+        # Floor-grid quantized moment sum: deterministic for COMPUTED
+        # doubles where a decimal cast would round a midpoint (see oracle).
+        return (
+            F.sum(F.floor(expr * F.lit(1000000.0)).cast("long"))
+            .over(w)
+            .cast("double")
+            / F.lit(1000000.0)
+        )
 
-    x, y = F.col("x"), F.col("y")
+    x, y = F.col("x").cast("double"), F.col("y").cast("double")
     m = daily.select(
         "event_type",
         "day",
