@@ -47,17 +47,23 @@ def synth_events_batch(
 
 
 def synth_events_stream(
-    spark: SparkSession, rows_per_second: int, size: int = 200
+    spark: SparkSession,
+    rows_per_second: int,
+    size: int = 200,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Unbounded event stream from the ``rate`` source — Spark's built-in
     rate limiter replaces the producer's sleep loop (producer.py:51-54).
     The rate source provides (timestamp, value); we keep its real event-time
-    ``timestamp`` and derive all other fields from the sequence number."""
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", rows_per_second)
-        .load()
+    ``timestamp`` and derive all other fields from the sequence number.
+    ``num_partitions`` is the source parallelism knob — the engine analog of
+    the reference's Kafka topic partition count (exp2's scaling axis)."""
+    reader = (
+        spark.readStream.format("rate").option("rowsPerSecond", rows_per_second)
     )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    rate = reader.load()
     return rate.select(
         F.col("timestamp").alias("ts"),
         *event_columns(F.col("value"), rows_per_second, size),

@@ -302,3 +302,58 @@ def test_dynamic_partition_pruning_injected(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", saved
             )
+
+
+def test_fake_decoder_used_only_by_documented_queries():
+    """Grep-proof guard: the deterministic media-decode stand-in
+    (`operators/multimodal.py:make_fake_decoder`, plus the
+    `decode_image`/`decode_audio` NotImplementedError raisers) must never be
+    referenced outside `operators/multimodal.py`, and inside it only by the
+    queries that DOCUMENT the fake (`mm_fake_decode_features`).  This keeps
+    a future query from silently depending on fake features as if a real
+    codec produced them."""
+    import glob
+    import os
+
+    import kafka_spark_streaming_eval_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, root)
+        with open(path) as f:
+            src = f.read()
+        for marker in ("make_fake_decoder", "fake_decode", "decode_image", "decode_audio"):
+            if marker in src and rel != os.path.join("operators", "multimodal.py"):
+                offenders.append((rel, marker))
+    assert not offenders, f"fake-decode markers leaked outside multimodal.py: {offenders}"
+
+    # Inside multimodal.py, every registered query whose body touches the
+    # fake decoder must carry 'fake' in its registered name (self-labeling).
+    import inspect
+
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    for name, spec in all_queries().items():
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            continue
+        if "make_fake_decoder" in src or "decode_image" in src:
+            assert "fake" in name, (
+                f"query {name} uses the fake decoder without labeling itself"
+            )
+
+
+def test_pagerank_lineage_truncated_by_checkpoint(spark):
+    """The 15-iteration PageRank loop localCheckpoints every 5th round and on
+    the final round, so the RETURNED plan must be a checkpoint scan — not 15
+    nested join+agg layers (at 100x scale an untruncated loop plan blows up
+    Catalyst analysis time before a single task runs).  Guard the knee: the
+    final optimized plan contains no Join at all."""
+    from kafka_spark_streaming_eval_spark.operators.graph import graph_pagerank_trade
+
+    df = graph_pagerank_trade(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, f"lineage not truncated:\n{plan[:2000]}"
+    assert len(plan) < 4000, f"plan unexpectedly deep ({len(plan)} chars)"

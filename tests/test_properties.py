@@ -615,3 +615,50 @@ def test_sessionized_conversion_matches_python_rederivation(spark):
                 conv += 1
         expected[uid] = (len(sessions), conv)
     assert out == expected
+
+
+def test_tpch_decimal_sums_have_100tb_headroom(spark):
+    """Overflow-margin audit for the DECIMAL(38,6) determinism contract.
+
+    Every TPC-H money sum goes through decimal(38,6) (10^32 of integer
+    headroom).  This measures the WIDEST magnitudes the engine ever sums —
+    the q1-style l_extendedprice*(1-l_discount)*(1+l_tax) expression, the
+    q18 quantity sums, acctbal — at the test scale factor, extrapolates
+    linearly to 100 TB (TPC-H sf ~ 1 GB, so 100 TB ~ sf 100_000), and
+    asserts three extra orders of magnitude of safety margin.  A failure
+    here means a cross-engine decimal-overflow surprise is possible before
+    the driver ever sees it."""
+    import re as _re
+
+    from tests.conftest import SF_DIR
+    from kafka_spark_streaming_eval_spark.catalog import table
+    from kafka_spark_streaming_eval_spark.session import prep
+
+    sf = float(_re.search(r"sf([\d.]+)", SF_DIR).group(1))
+    scale_up = 100_000 / sf  # linear row-count ratio to the 100 TB corpus
+    prep(spark)
+    li = table(spark, SF_DIR, "lineitem")
+    cu = table(spark, SF_DIR, "customer")
+    price = F.col("l_extendedprice").cast("decimal(38,6)")
+    disc = F.col("l_discount").cast("decimal(38,6)")
+    tax = F.col("l_tax").cast("decimal(38,6)")
+    widest = li.agg(
+        F.sum(F.abs(price * (1 - disc) * (1 + tax))).alias("q1_charge"),
+        F.sum(F.abs(price)).alias("price"),
+        F.sum(F.abs(F.col("l_quantity").cast("decimal(38,6)"))).alias("qty"),
+    ).collect()[0]
+    acct = cu.agg(
+        F.sum(F.abs(F.col("c_acctbal").cast("decimal(38,6)"))).alias("a")
+    ).collect()[0]
+    cap = 10**32  # integer digits available in decimal(38,6)
+    for label, total in [
+        ("q1_charge", widest["q1_charge"]),
+        ("price", widest["price"]),
+        ("qty", widest["qty"]),
+        ("acctbal", acct["a"]),
+    ]:
+        projected = float(total) * scale_up
+        assert projected * 1e3 < cap, (
+            f"{label}: sf{sf} sum {float(total):.3e} projects to "
+            f"{projected:.3e} at 100 TB — under 3 orders of headroom vs 1e32"
+        )
