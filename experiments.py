@@ -222,15 +222,12 @@ def _ticks(lo, hi, n=5):
     raw = (hi - lo) / n
     mag = 10 ** math.floor(math.log10(raw))
     step = min(s * mag for s in (1, 2, 5, 10) if s * mag >= raw)
-    t0 = math.floor(lo / step) * step
-    out = []
-    t = t0
-    while True:
-        if t >= lo - 1e-9:
-            out.append(t)
-        if t >= hi - 1e-9:  # last tick must COVER hi or points clip off-plot
-            break
-        t += step
+    # Ticks must SPAN the data: first tick at floor(lo/step), last tick at or
+    # above hi — a first tick above lo (or last below hi) plots points
+    # outside the axes.
+    out = [math.floor(lo / step) * step]
+    while out[-1] < hi - 1e-9:
+        out.append(out[-1] + step)
     return out
 
 
