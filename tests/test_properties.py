@@ -662,3 +662,90 @@ def test_tpch_decimal_sums_have_100tb_headroom(spark):
             f"{label}: sf{sf} sum {float(total):.3e} projects to "
             f"{projected:.3e} at 100 TB — under 3 orders of headroom vs 1e32"
         )
+
+
+def _mini_sf(tmp_path, spark, events=None, documents=None):
+    """Write a synthetic sf_dir with engine-schema parquet tables."""
+    import duckdb as _dd
+
+    d = str(tmp_path / "sf_synth")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    if events is not None:
+        spark.createDataFrame(
+            events, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    if documents is not None:
+        spark.createDataFrame(
+            documents, "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    con = _dd.connect()
+    for t in ("events", "documents"):
+        if (events if t == "events" else documents) is not None:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet/*.parquet')"
+            )
+    return d, con
+
+
+def test_quantile_contract_survives_heavy_median_ties(spark, tmp_path):
+    """ADVICE r3 scenario: with most mass at one value, count(<=)/n is far
+    above 0.5 even when the sketch keeps its rank guarantee — the old
+    interval-max check would flag false and hash-mismatch the TRUE-oracle.
+    The interval-overlap contract must stay true."""
+    import datetime as dt
+
+    from kafka_spark_streaming_eval_spark.operators.relational import (
+        agg_approx_quantile_contract,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(2000):
+        # 90% of values identical at the median, a thin tail on each side
+        v = 50.0 if i % 10 < 9 else (1.0 if i % 20 == 9 else 99.0)
+        rows.append((i, base + dt.timedelta(seconds=i), i % 7, "click", v, "{}"))
+    d, con = _mini_sf(tmp_path, spark, events=rows)
+    out = {r.event_type: r for r in agg_approx_quantile_contract(spark, d).collect()}
+    assert out["click"].approx_rank_ok is True
+    assert out["click"].exact_median == 50.0
+    # the old (interval-max) formula indeed rejects this distribution,
+    # proving the scenario is real and the new contract is the fix
+    n = 2000
+    am = 50.0
+    le = sum(1 for r in rows if r[4] <= am)
+    assert abs(le / n - 0.5) > 1.0 / 100 + 1.0 / n
+
+
+def test_length_buckets_overflow_doc_never_negative_waste(spark, tmp_path):
+    """ADVICE r3 scenario: a document longer than the 8192-token cap must
+    not produce padded_tokens < sum_tokens (negative pad_waste_frac).  The
+    overflow bucket pads to its actual max length; Spark and the DuckDB
+    oracle agree on the corrected accounting."""
+    from kafka_spark_streaming_eval_spark.operators.pipeline import (
+        pipeline_length_buckets,
+    )
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+    from tests.conftest import assert_matches_oracle
+
+    docs = [
+        (1, "tok " * 9000 + "tok", "en", "web", 4 * 9001),  # 9001 tokens: overflow
+        (2, "a b c", "en", "web", 5),
+        (3, "w " * 8500 + "w", "en", "web", 2 * 8501),  # 8501 tokens: overflow
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    rows = {r.bucket_tokens: r for r in pipeline_length_buckets(spark, d).collect()}
+    over = rows[8192]
+    assert over.n_docs == 2
+    assert over.padded_tokens == 2 * 9001  # pad-to-longest in the bucket
+    assert over.padded_tokens >= over.sum_tokens
+    assert over.pad_waste_frac >= 0.0
+    assert rows[16].pad_waste_frac >= 0.0
+    # full cross-engine agreement on the synthetic corpus
+    spec = all_queries()["pipeline_length_buckets"]
+    assert_matches_oracle(
+        pipeline_length_buckets(spark, d), con, spec.oracle, "pipeline_length_buckets"
+    )
