@@ -160,6 +160,14 @@ def _quantile(xs, q):
 
 
 def summarize_rate(rate, measured):
+    if not measured:  # a stalled run must not abort the whole ladder
+        return {
+            "rate_eps_input": rate, "batches_used": 0,
+            "throughput_eps_mean": 0.0, "throughput_eps_p95": 0.0,
+            "lat_mean_ms_avg": -1.0, "lat_p50_ms_avg": -1.0,
+            "lat_p95_ms_avg": -1.0, "lat_p99_ms_avg": -1.0,
+            "lat_p95_ms_max": -1.0,
+        }
     tput = [r.batch_events / TRIGGER_SEC for r in measured]
     return {
         "rate_eps_input": rate,
@@ -251,6 +259,8 @@ def line_chart(path, title, xlabel, ylabel, series, ylog=False):
     x0, x1 = min(xs), max(xs)
     if ylog:
         y0, y1 = math.floor(min(ys)), math.ceil(max(ys))
+        if y1 == y0:  # all values on one power of 10 — give the axis a span
+            y1 = y0 + 1
         ytk = list(range(int(y0), int(y1) + 1))
         ylab = [f"{10 ** t:,.0f}" for t in ytk]
     else:
@@ -258,6 +268,8 @@ def line_chart(path, title, xlabel, ylabel, series, ylog=False):
         ytk = _ticks(max(0.0, min(ys) - pad), max(ys) + pad)
         y0, y1 = ytk[0], ytk[-1]
         ylab = [_fmt(t) for t in ytk]
+    if x1 == x0:
+        x1 = x0 + 1
     xtk = _ticks(x0, x1)
     x0, x1 = min(x0, xtk[0]), max(x1, xtk[-1])
     pw, ph = W - ML - MR, H - MT - MB
@@ -343,7 +355,7 @@ def bar_chart(path, title, ylabel, groups, series_names, colors, ylog=False):
     vals = [ty(v) for _, vs in groups for v in vs if v is not None]
     if ylog:
         y0 = math.floor(min(vals + [math.log10(1000)]))
-        y1 = math.ceil(max(vals))
+        y1 = max(math.ceil(max(vals)), y0 + 1)
         ytk = list(range(int(y0), int(y1) + 1))
         ylab = [f"{10 ** t:,.0f}" for t in ytk]
     else:
@@ -454,14 +466,16 @@ def render(exp1, exp2, gap_s, outdir):
         ],
         ylog=True,
     )
-    short = ["Partitions=3 (baseline)", "Partitions=6", "Partitions=12", "Partitions=12 +parallel"]
     bar_chart(
         os.path.join(outdir, "exp2_p95_latency.svg"),
         "Experiment 2: p95 latency by configuration (log scale)",
         "Avg p95 latency (ms, log)",
         [
-            (short[i], [exp2[i]["lat_p95_ms_avg"], REF_EXP2[i][2]])
-            for i in range(len(exp2))
+            (
+                r["configuration"].split(" (")[0].replace(" + wide shuffle", " +parallel"),
+                [r["lat_p95_ms_avg"], REF_EXP2[i][2] if i < len(REF_EXP2) else None],
+            )
+            for i, r in enumerate(exp2)
         ],
         [eng, ref],
         [ENGINE_C, REF_C],
@@ -517,6 +531,7 @@ def main():
     write_csv(os.path.join(outdir, "exp1_summary.csv"), exp1, cols1)
 
     # ---- exp2: configuration ladder at the reference's stress rate --------
+    shuffle0 = spark.conf.get("spark.sql.shuffle.partitions")
     exp2 = []
     for label, srcp, shuf in EXP2_CONFIGS:
         rows = run_stream(spark, EXP2_RATE, src_partitions=srcp, shuffle=shuf)
@@ -527,13 +542,17 @@ def main():
                 "batches_used": len(m),
                 "throughput_eps_mean": statistics.fmean(
                     r.batch_events / TRIGGER_SEC for r in m
-                ),
-                "lat_p95_ms_avg": statistics.fmean(r.p95_latency_ms for r in m),
-                "lat_p95_ms_max": max(r.p95_latency_ms for r in m),
+                )
+                if m
+                else 0.0,
+                "lat_p95_ms_avg": statistics.fmean(r.p95_latency_ms for r in m)
+                if m
+                else -1.0,
+                "lat_p95_ms_max": max((r.p95_latency_ms for r in m), default=-1.0),
             }
         )
         print(f"exp2 {label}: {exp2[-1]}", flush=True)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle0)  # exp3 on defaults
     cols2 = [
         "configuration", "batches_used", "throughput_eps_mean",
         "lat_p95_ms_avg", "lat_p95_ms_max",

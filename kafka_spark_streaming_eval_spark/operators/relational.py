@@ -3208,33 +3208,29 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS day,
-             count(*) AS x, {dsum_sql('value')} AS y
+             count(*) AS x,
+             CAST(floor({dsum_sql('value')} * 1000) AS BIGINT) AS v
       FROM {_EV} GROUP BY 1, 2
     ),
     m AS (
       SELECT event_type, day,
              CAST(count(*) OVER w AS DOUBLE) AS c,
-             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                  OVER w AS DOUBLE) / 1000000.0 AS sx,
-             CAST(sum(CAST(floor(CAST(y AS DOUBLE) * 1000000) AS BIGINT))
-                  OVER w AS DOUBLE) / 1000000.0 AS sy,
-             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-                                 * 1000000) AS BIGINT))
-                  OVER w AS DOUBLE) / 1000000.0 AS sxy,
-             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                                 * 1000000) AS BIGINT))
-                  OVER w AS DOUBLE) / 1000000.0 AS sxx,
-             CAST(sum(CAST(floor(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
-                                 * 1000000) AS BIGINT))
-                  OVER w AS DOUBLE) / 1000000.0 AS syy
+             CAST(sum(x) OVER w AS DOUBLE) AS sx,
+             CAST(sum(v) OVER w AS DOUBLE) AS sv,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0)))
+                  OVER w AS DOUBLE) AS sxv,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+                  OVER w AS DOUBLE) AS sxx,
+             CAST(sum(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0)))
+                  OVER w AS DOUBLE) AS svv
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, epoch_ms(day) AS day_ms,
-           round(CASE WHEN (c*sxx - sx*sx) * (c*syy - sy*sy) > 0
-                      THEN (c*sxy - sx*sy)
-                           / sqrt((c*sxx - sx*sx) * (c*syy - sy*sy)) END,
+           round(CASE WHEN (c*sxx - sx*sx) * (c*svv - sv*sv) > 0
+                      THEN (c*sxv - sx*sv)
+                           / sqrt((c*sxx - sx*sx) * (c*svv - sv*sv)) END,
                  6) AS corr7
     FROM m
     """,
@@ -3242,17 +3238,21 @@ def agg_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day correlation between a day's event count and its value
     total, per event type — windowed bivariate statistics for time-series
-    feature engineering.  The five moment sums are quantized on an integer
-    floor grid (`floor(expr * 1e6)` summed as BIGINT, divided back), the
-    `_km_update_sql` pattern: the products x*y / x*x / y*y are COMPUTED
-    doubles, and casting a computed double to DECIMAL re-introduces the
-    cross-engine cast-midpoint divergence (Spark rounds the shortest repr,
-    DuckDB the exact binary value); floor of an identical IEEE product is
-    deterministic on both engines with no midpoint to disagree on.  The
-    closed-form combination is then identical IEEE arithmetic (sqrt is
-    correctly-rounded everywhere; no libm estimator enters).  Degenerate
-    frames (zero variance, frame of one) yield NULL via the same guarded
-    CASE on both sides.
+    feature engineering.  Correlation is invariant under positive scaling
+    of either variable, so the value axis enters as the INTEGER grid point
+    v = floor(daily_sum * 1e3) — a single deterministic quantization of an
+    identical IEEE double on both engines (no computed-double → DECIMAL
+    cast anywhere, hence no cross-engine cast-midpoint divergence) — and
+    every moment is then EXACT integer arithmetic: x and v sum as BIGINT,
+    the second moments multiply as DECIMAL(18,0)×DECIMAL(18,0) (product
+    width 37 ≤ both engines' 38-digit cap, so neither engine falls back
+    to inexact doubles).  Overflow envelope: |daily sum| up to ~1e12
+    (v ≤ 1e15, v² ≤ 1e30, 7-row frame sums ≤ 7e30 inside DECIMAL(38,0))
+    — 100 TB puts a hot event type's daily sum near 1e10, two orders
+    inside the envelope, vs ~3e6 for the earlier floor(y²·1e6)-as-BIGINT
+    form.  The closed-form combination is identical IEEE arithmetic (sqrt
+    correctly rounded everywhere; no libm estimator).  Degenerate frames
+    (zero variance, frame of one) yield NULL via the same guarded CASE.
 
     Plan: one daily aggregation (map-side combinable), then one window
     pass over ~30 rows per event type — at 100 TB the window input is the
@@ -3260,38 +3260,35 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(prep(spark), sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"), dsum("value").alias("y"))
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.floor(dsum("value") * F.lit(1000.0)).cast("long").alias("v"),
+    )
     w = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    D18 = "decimal(18,0)"
 
-    def msum(expr):
-        # Floor-grid quantized moment sum: deterministic for COMPUTED
-        # doubles where a decimal cast would round a midpoint (see oracle).
-        return (
-            F.sum(F.floor(expr * F.lit(1000000.0)).cast("long"))
-            .over(w)
-            .cast("double")
-            / F.lit(1000000.0)
-        )
+    def isum(expr):
+        return F.sum(expr).over(w).cast("double")
 
-    x, y = F.col("x").cast("double"), F.col("y").cast("double")
+    x, v = F.col("x"), F.col("v")
     m = daily.select(
         "event_type",
         "day",
         F.count(F.lit(1)).over(w).cast("double").alias("c"),
-        msum(x).alias("sx"),
-        msum(y).alias("sy"),
-        msum(x * y).alias("sxy"),
-        msum(x * x).alias("sxx"),
-        msum(y * y).alias("syy"),
+        isum(x).alias("sx"),
+        isum(v).alias("sv"),
+        isum(x.cast(D18) * v.cast(D18)).alias("sxv"),
+        isum(x.cast(D18) * x.cast(D18)).alias("sxx"),
+        isum(v.cast(D18) * v.cast(D18)).alias("svv"),
     )
-    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
-    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    var_prod = (c * sxx - sx * sx) * (c * syy - sy * sy)
+    c, sx, sv = F.col("c"), F.col("sx"), F.col("sv")
+    sxv, sxx, svv = F.col("sxv"), F.col("sxx"), F.col("svv")
+    var_prod = (c * sxx - sx * sx) * (c * svv - sv * sv)
     return m.select(
         "event_type",
         F.unix_millis("day").alias("day_ms"),
         F.round(
-            F.when(var_prod > 0, (c * sxy - sx * sy) / F.sqrt(var_prod)),
+            F.when(var_prod > 0, (c * sxv - sx * sv) / F.sqrt(var_prod)),
             6,
         ).alias("corr7"),
     )

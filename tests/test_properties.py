@@ -749,3 +749,35 @@ def test_length_buckets_overflow_doc_never_negative_waste(spark, tmp_path):
     assert_matches_oracle(
         pipeline_length_buckets(spark, d), con, spec.oracle, "pipeline_length_buckets"
     )
+
+
+def test_rolling_corr_grid_envelope_at_100tb(spark):
+    """window_rolling_corr quantizes daily value sums as v = floor(y*1e3)
+    and multiplies v*v in DECIMAL(18,0): v fits DECIMAL(18,0) up to
+    |v| < 1e18 and the product stays exact inside both engines' 38-digit
+    cap, giving a practical envelope of |daily sum| <= ~1e12 with the
+    1e3 grid.
+    Project the measured per-(event_type, day) max to 100 TB and assert it
+    stays inside the envelope with margin — the overflow mode the round-4
+    review found in the earlier floor(y^2*1e6)-as-BIGINT form."""
+    import re as _re
+
+    from tests.conftest import SF_DIR
+    from kafka_spark_streaming_eval_spark.catalog import table
+    from kafka_spark_streaming_eval_spark.session import prep
+
+    sf = float(_re.search(r"sf([\d.]+)", SF_DIR).group(1))
+    scale_up = 100_000 / sf
+    prep(spark)
+    ev = table(spark, SF_DIR, "events")
+    worst = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts"))
+        .agg(F.sum(F.abs(F.col("value").cast("decimal(38,6)"))).alias("y"))
+        .agg(F.max("y").alias("m"))
+        .collect()[0]["m"]
+    )
+    projected = float(worst) * scale_up
+    assert projected * 10 < 1e12, (
+        f"daily-sum {float(worst):.3e} at sf{sf} projects to {projected:.3e} "
+        f"at 100 TB — outside the rolling-corr DECIMAL(18,0) grid envelope"
+    )
