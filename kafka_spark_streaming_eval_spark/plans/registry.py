@@ -143,3 +143,8 @@ def _load_all() -> None:
     from kafka_spark_streaming_eval_spark.functions import udfs  # noqa: F401
     from kafka_spark_streaming_eval_spark.sources import readers  # noqa: F401
     from kafka_spark_streaming_eval_spark.streaming import queries, stateful  # noqa: F401
+
+    # Round-4 additions import LAST: their registration index must sort
+    # AFTER every pre-existing never-green query so they never displace the
+    # driver-rotation backlog that is still draining (VERDICT r3 item 1).
+    from kafka_spark_streaming_eval_spark.operators import corpus  # noqa: F401
