@@ -75,6 +75,9 @@ HEADLINE = [
     "sim_centroid_confusion",
     "text_chunk_overlap",
     "pipeline_deterministic_shuffle",
+    "text_unigram_surprisal",
+    "pipeline_tokenizer_fertility",
+    "text_contamination_matrix",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000
