@@ -530,3 +530,70 @@ def test_kmeans_separates_planted_clusters(spark, tmp_path):
     # mixed assignment would cost: 1e6-grid inertia_q per member < 1e6)
     for r in out:
         assert r.inertia_q < 1_000_000 * r.n_members
+
+
+def test_unigram_surprisal_planted_fluent_vs_noise(spark, tmp_path):
+    """A document of the LM source's own common words scores OOV 0 and high
+    frequency magnitude; pure-noise tokens score OOV 1 / magnitude 0."""
+    from kafka_spark_streaming_eval_spark.operators.corpus import (
+        text_unigram_surprisal,
+    )
+    from tests.test_properties import _mini_sf
+
+    train = "the cat sat on the mat " * 20  # src0: 'the' count 40 (2 digits)
+    docs = [
+        (1, train.strip(), "en", "src0", len(train)),
+        (2, "the the cat mat", "en", "srcX", 15),  # all in-vocab
+        (3, "zzq qqz xvx", "en", "srcX", 11),  # all OOV
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    out = {r.doc_id: r for r in text_unigram_surprisal(spark, d).collect()}
+    assert out[2].oov_rate == 0.0
+    assert out[2].mean_freq_magnitude == 2.0  # every token's count is 2-digit
+    assert out[3].oov_rate == 1.0
+    assert out[3].mean_freq_magnitude == 0.0
+    assert out[1].oov_rate == 0.0
+
+
+def test_tokenizer_fertility_planted_ratios(spark, tmp_path):
+    """Plain lowercase words have fertility exactly 1; punctuation-riddled
+    text strictly above 1 (each punct char is its own BPE-ish token)."""
+    from kafka_spark_streaming_eval_spark.operators.corpus import (
+        pipeline_tokenizer_fertility,
+    )
+    from tests.test_properties import _mini_sf
+
+    docs = [
+        (1, "plain words only here", "en", "clean", 21),  # 4 ws = 4 bpe
+        (2, "a, b, c!", "en", "punct", 8),  # 3 ws tokens, 6 bpe tokens
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    out = {r.source: r for r in pipeline_tokenizer_fertility(spark, d).collect()}
+    assert out["clean"].fertility == 1.0
+    assert out["clean"].bpe_tokens == out["clean"].ws_tokens == 4
+    assert out["punct"].ws_tokens == 3
+    assert out["punct"].bpe_tokens == 6
+    assert out["punct"].fertility == 2.0
+
+
+def test_contamination_matrix_planted_mirror_source(spark, tmp_path):
+    """A mirror source sharing a verbatim doc overlaps; a disjoint source
+    appears in no pair row (zero-overlap pairs absent by construction)."""
+    from kafka_spark_streaming_eval_spark.operators.corpus import (
+        text_contamination_matrix,
+    )
+    from tests.test_properties import _mini_sf
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, shared, "en", "origin", len(shared)),
+        (2, shared, "en", "mirror", len(shared)),  # verbatim recrawl
+        (3, "one two three four five six", "en", "other", 27),
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    rows = text_contamination_matrix(spark, d).collect()
+    pairs = {(r.source_a, r.source_b): r for r in rows}
+    assert set(pairs) == {("mirror", "origin")}  # 'other' shares nothing
+    r = pairs[("mirror", "origin")]
+    assert r.n_shared == r.size_a == r.size_b == 4  # 6 tokens -> 4 shingles
+    assert r.jaccard == 1.0
