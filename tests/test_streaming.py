@@ -339,3 +339,101 @@ def test_rocksdb_state_store_streaming_agg(spark, tmp_path):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_hard_kill_recovery_no_loss(spark, tmp_path):
+    """exp3 with a REAL failure: SIGKILL the streaming process mid-run (the
+    reference killed spark-submit; the existing recovery test stops
+    gracefully) and restart from the checkpoint in this process.
+
+    The contract under hard kill is the Structured Streaming one:
+    - NO LOSS — every staged event is processed by the child or the
+      restarted query (offsets only advance after a batch commits);
+    - duplicates confined to the REPLAY of uncommitted work — foreachBatch
+      is at-least-once across a crash (the sink wrote its CSV row before
+      the offset commit the kill pre-empted), bounded by the in-flight
+      trigger, NOT unbounded reprocessing;
+    - batch ids resume monotonically (restart continues the WAL, it does
+      not start over)."""
+    import glob
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "metrics")
+    os.makedirs(src)
+    wire_cols = ("event_id", "created_ts", "user_id", "event_type", "value", "payload")
+    n_total = 10_000
+    ev = synth_events_batch(spark, n_total)
+    ev.select(F.to_json(F.struct(*wire_cols)).alias("value")).repartition(
+        20
+    ).write.mode("append").text(src)
+
+    child_code = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from pyspark.sql import SparkSession
+from kafka_spark_streaming_eval_spark.streaming.metrics_job import (
+    MetricsCollector, parse_events, run_metrics_stream)
+spark = (SparkSession.builder.master("local[2]").appName("kill-me")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+raw = (spark.readStream.format("text").option("maxFilesPerTrigger", "2")
+       .load({src!r}))
+q, _ = run_metrics_stream(parse_events(raw), {ckpt!r}, outdir={outdir!r},
+                          trigger_sec=1, collector=MetricsCollector({outdir!r}))
+q.awaitTermination()
+"""
+    child = subprocess.Popen([sys.executable, "-c", child_code])
+    try:
+        # kill once real progress exists (>=2 committed CSV batch rows) but
+        # well before the 10-batch corpus drains
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if len(glob.glob(os.path.join(outdir, "**", "*.csv"), recursive=True)) >= 2:
+                break
+            _time.sleep(0.2)
+            assert child.poll() is None, "child exited before making progress"
+        child.send_signal(signal.SIGKILL)
+        child.wait(timeout=30)
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    import pandas as pd
+
+    csvs = glob.glob(os.path.join(outdir, "**", "*.csv"), recursive=True)
+    committed = pd.concat([pd.read_csv(f) for f in csvs], ignore_index=True)
+    c_events = int(committed["batch_events"].sum())
+    c_max_batch = int(committed["batch_id"].max())
+    assert 0 < c_events < n_total, "kill landed before any / after all batches"
+
+    # restart from the SAME checkpoint in this process and drain the rest
+    raw2 = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    collector = MetricsCollector()
+    q2, sink = run_metrics_stream(
+        parse_events(raw2), ckpt, trigger_sec=1, collector=collector
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    r_events = sum(r.batch_events for r in sink.rows)
+    r_batches = [int(r.batch_id) for r in sink.rows]
+
+    # no loss: child-committed + restarted covers the whole corpus
+    assert c_events + r_events >= n_total
+    # duplicates bounded by the uncommitted in-flight trigger (2 files/trigger)
+    per_trigger = 2 * (n_total // 20)
+    assert c_events + r_events - n_total <= 2 * per_trigger, (
+        c_events, r_events)
+    # monotone resume: the WAL continues, it does not restart from batch 0
+    if r_batches:
+        assert min(r_batches) >= c_max_batch, (r_batches, c_max_batch)
