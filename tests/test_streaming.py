@@ -392,9 +392,20 @@ q.awaitTermination()
     try:
         # kill once real progress exists (>=2 committed CSV batch rows) but
         # well before the 10-batch corpus drains
+        def committed_csvs():
+            # the kill can land mid-write: ignore in-flight _temporary
+            # staging attempts, count only committed task outputs
+            return [
+                f
+                for f in glob.glob(
+                    os.path.join(outdir, "**", "*.csv"), recursive=True
+                )
+                if "_temporary" not in f
+            ]
+
         deadline = _time.time() + 120
         while _time.time() < deadline:
-            if len(glob.glob(os.path.join(outdir, "**", "*.csv"), recursive=True)) >= 2:
+            if len(committed_csvs()) >= 2:
                 break
             _time.sleep(0.2)
             assert child.poll() is None, "child exited before making progress"
@@ -406,8 +417,13 @@ q.awaitTermination()
 
     import pandas as pd
 
-    csvs = glob.glob(os.path.join(outdir, "**", "*.csv"), recursive=True)
-    committed = pd.concat([pd.read_csv(f) for f in csvs], ignore_index=True)
+    frames = []
+    for f in committed_csvs():
+        try:  # a file can still be a torn partial — skip, like the
+            frames.append(pd.read_csv(f))  # reference's read_rate_folder
+        except (OSError, ValueError):
+            pass
+    committed = pd.concat(frames, ignore_index=True)
     c_events = int(committed["batch_events"].sum())
     c_max_batch = int(committed["batch_id"].max())
     assert 0 < c_events < n_total, "kill landed before any / after all batches"
