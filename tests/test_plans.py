@@ -357,3 +357,38 @@ def test_pagerank_lineage_truncated_by_checkpoint(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, f"lineage not truncated:\n{plan[:2000]}"
     assert len(plan) < 4000, f"plan unexpectedly deep ({len(plan)} chars)"
+
+
+def test_rotation_order_never_green_first():
+    """The driver's per-round budget covers a PREFIX of queries(), so the
+    ordering IS the coverage policy: every query without a green
+    CORRECTNESS row must sort before every verified one, and round-N
+    additions (operators/corpus.py, imported last in registry._load_all)
+    must sort after all OLDER never-green queries so they never displace
+    the draining backlog."""
+    from kafka_spark_streaming_eval_spark.plans.registry import (
+        _last_green_round,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    green = _last_green_round()
+    flags = [n in green for n in names]
+    # monotone: once a green query appears, no never-green may follow
+    first_green = flags.index(True) if True in flags else len(flags)
+    assert all(flags[first_green:]), "a never-green query sorts after a green one"
+    never = [n for n in names if n not in green]
+    if never:
+        from kafka_spark_streaming_eval_spark.operators import corpus
+
+        late = {
+            n for n in never
+            if getattr(corpus, n, None) is not None
+        }
+        if late:
+            cutoff = max(
+                (never.index(n) for n in set(never) - late), default=-1
+            )
+            assert all(never.index(n) > cutoff for n in late), (
+                "late-round additions displace the older never-green backlog"
+            )
