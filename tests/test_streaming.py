@@ -388,7 +388,13 @@ q, _ = run_metrics_stream(parse_events(raw), {ckpt!r}, outdir={outdir!r},
                           trigger_sec=1, collector=MetricsCollector({outdir!r}))
 q.awaitTermination()
 """
-    child = subprocess.Popen([sys.executable, "-c", child_code])
+    # own process GROUP so the SIGKILL takes the py4j JVM down atomically —
+    # killing only the python driver leaves the JVM grandchild alive long
+    # enough to race the parent's restart on the checkpoint offset log
+    # (CONCURRENT_STREAM_LOG_UPDATE)
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_code], start_new_session=True
+    )
     try:
         # kill once real progress exists (>=2 committed CSV batch rows) but
         # well before the 10-batch corpus drains
@@ -409,11 +415,15 @@ q.awaitTermination()
                 break
             _time.sleep(0.2)
             assert child.poll() is None, "child exited before making progress"
-        child.send_signal(signal.SIGKILL)
+        os.killpg(child.pid, signal.SIGKILL)
         child.wait(timeout=30)
+        _time.sleep(1.0)  # settle before reusing the checkpoint
     finally:
         if child.poll() is None:
-            child.kill()
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
 
     import pandas as pd
 
