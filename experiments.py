@@ -442,7 +442,11 @@ def write_csv(path, rows, cols):
 
 
 def render(exp1, exp2, gap_s, outdir):
-    """Charts + REPORT.md from summary rows (re-runnable via --render-only)."""
+    """Charts + REPORT.md from summary rows (re-runnable via --render-only).
+
+    Stalled-run sentinel rows (latency -1.0 from summarize_rate) are skipped
+    in chart series — on the log axis a -1 would render as 10^-9 and flatten
+    every real series — and shown as '—' in the report tables."""
     eng = "This engine (PySpark)"
     ref = "Reference baseline"
     line_chart(
@@ -461,7 +465,15 @@ def render(exp1, exp2, gap_s, outdir):
         "Input rate (events/sec)",
         "Avg p95 latency (ms, log)",
         [
-            (eng, ENGINE_C, [(r["rate_eps_input"], r["lat_p95_ms_avg"]) for r in exp1]),
+            (
+                eng,
+                ENGINE_C,
+                [
+                    (r["rate_eps_input"], r["lat_p95_ms_avg"])
+                    for r in exp1
+                    if r["lat_p95_ms_avg"] >= 0
+                ],
+            ),
             (ref, REF_C, [(x, y) for x, _, y in REF_EXP1]),
         ],
         ylog=True,
@@ -473,7 +485,10 @@ def render(exp1, exp2, gap_s, outdir):
         [
             (
                 r["configuration"].split(" (")[0].replace(" + wide shuffle", " +parallel"),
-                [r["lat_p95_ms_avg"], REF_EXP2[i][2] if i < len(REF_EXP2) else None],
+                [
+                    r["lat_p95_ms_avg"] if r["lat_p95_ms_avg"] >= 0 else None,
+                    REF_EXP2[i][2] if i < len(REF_EXP2) else None,
+                ],
             )
             for i, r in enumerate(exp2)
         ],
@@ -488,15 +503,13 @@ def _read_csv(path):
     with open(path) as f:
         import csv as _csv
 
-        rows = []
-        for row in _csv.DictReader(f):
-            rows.append(
-                {
-                    k: (float(v) if v.replace(".", "", 1).replace("-", "", 1).isdigit() else v)
-                    for k, v in row.items()
-                }
-            )
-        return rows
+        def _num(v):
+            try:
+                return float(v)
+            except ValueError:
+                return v
+
+        return [{k: _num(v) for k, v in row.items()} for row in _csv.DictReader(f)]
 
 
 def render_only():
@@ -614,10 +627,11 @@ def write_report(exp1, exp2, gap_s):
     for r in exp1:
         rate = r["rate_eps_input"]
         rt, rp = ref1.get(rate, (None, None))
+        ep = f"{r['lat_p95_ms_avg']:.1f}" if r["lat_p95_ms_avg"] >= 0 else "—"
         lines.append(
             f"| {rate:,} | {rt if rt is not None else '—'} | "
             f"{r['throughput_eps_mean']:.1f} | "
-            f"{rp if rp is not None else '—'} | {r['lat_p95_ms_avg']:.1f} |"
+            f"{rp if rp is not None else '—'} | {ep} |"
         )
     lines += [
         "",
@@ -648,11 +662,21 @@ def write_report(exp1, exp2, gap_s):
     ]
     for i, r in enumerate(exp2):
         _, rt, rp = REF_EXP2[i]
+        ep = f"{r['lat_p95_ms_avg']:.1f}" if r["lat_p95_ms_avg"] >= 0 else "—"
         lines.append(
             f"| {r['configuration']} | {rt} | {r['throughput_eps_mean']:.1f} |"
-            f" {rp} | {r['lat_p95_ms_avg']:.1f} |"
+            f" {rp} | {ep} |"
         )
     lines += [
+        "",
+        "Engine knobs actually applied per row (auditable mapping): "
+        + "; ".join(
+            f"row {i + 1}: rate-source `numPartitions={srcp}` (exactly {srcp} "
+            f"input partitions per micro-batch), "
+            f"`spark.sql.shuffle.partitions={shuf}`"
+            for i, (_, srcp, shuf) in enumerate(EXP2_CONFIGS)
+        )
+        + ".",
         "",
         "![exp2 p95](results/exp2_p95_latency.svg)",
         "",

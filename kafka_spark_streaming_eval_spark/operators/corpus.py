@@ -113,7 +113,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
            CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
            round(CAST(sum(n_bpe) AS BIGINT) * 1.0
-                 / CAST(sum(n_ws) AS BIGINT), 6) AS fertility
+                 / NULLIF(CAST(sum(n_ws) AS BIGINT), 0), 6) AS fertility
     FROM (
       SELECT lang, source,
              len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
@@ -142,8 +142,15 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_bpe").cast("long").alias("bpe_tokens"),
             F.sum("n_ws").cast("long").alias("ws_tokens"),
-            F.round(
-                F.sum("n_bpe").cast("long") * 1.0 / F.sum("n_ws").cast("long"), 6
+            # 0/0 guard: a (lang, source) group of all-whitespace docs would be
+            # NULL in non-ANSI Spark but NaN under DuckDB IEEE float division —
+            # both engines must emit NULL (NULLIF in the oracle).
+            F.when(
+                F.sum("n_ws") > 0,
+                F.round(
+                    F.sum("n_bpe").cast("long") * 1.0 / F.sum("n_ws").cast("long"),
+                    6,
+                ),
             ).alias("fertility"),
         )
     )

@@ -73,7 +73,9 @@ def running_stats_stream(spark: SparkSession, src_dir: str) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            """Required StatefulProcessor lifecycle hook; this processor holds
+            no resources outside the named state variable, so there is
+            nothing to release."""
 
     stream = (
         spark.readStream.schema("user_id long, value double")

@@ -162,6 +162,23 @@ def test_rate_source_generator(spark):
     assert out.where((F.col("value") < 0) | (F.col("value") > 99.9)).count() == 0
 
 
+def test_tws_gate_reflects_protobuf_presence():
+    """The transformWithState gate must track the actual dependency: it is
+    on exactly when ``google.protobuf`` (the TWS state-server protocol dep,
+    pyspark.sql.streaming.stateful_processor_api_client) imports — so the
+    skip in test_tws_running_stats is always for the documented reason and
+    never masks an unrelated breakage."""
+    from kafka_spark_streaming_eval_spark.streaming.tws import tws_available
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert tws_available() is have
+
+
 def test_tws_running_stats(spark, tmp_path):
     """transformWithStateInPandas end-to-end (Spark 4 StatefulProcessor):
     multi-batch per-user running stats must equal the batch aggregate.

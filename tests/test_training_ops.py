@@ -576,6 +576,34 @@ def test_tokenizer_fertility_planted_ratios(spark, tmp_path):
     assert out["punct"].fertility == 2.0
 
 
+def test_tokenizer_fertility_all_whitespace_group_is_null(spark, tmp_path):
+    """ADVICE r4: a (lang, source) group whose docs are all empty or
+    whitespace-only has ws_tokens = 0; without a guard Spark (non-ANSI)
+    returns NULL for 0/0 while DuckDB IEEE float division returns NaN — a
+    cross-engine hash mismatch.  Both sides must emit NULL (F.when in
+    Spark, NULLIF in the oracle)."""
+    from kafka_spark_streaming_eval_spark.operators.corpus import (
+        pipeline_tokenizer_fertility,
+    )
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+    from tests.test_properties import _mini_sf
+
+    docs = [
+        (1, "", "xx", "blank", 0),
+        (2, "   ", "xx", "blank", 3),
+        (3, "real words here", "en", "clean", 15),
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    out = {r.source: r for r in pipeline_tokenizer_fertility(spark, d).collect()}
+    assert out["blank"].ws_tokens == 0
+    assert out["blank"].fertility is None
+    assert out["clean"].fertility == 1.0
+    oracle = all_queries()["pipeline_tokenizer_fertility"].oracle
+    got = {r[1]: r[4] for r in con.execute(oracle).fetchall()}
+    assert got["blank"] is None
+    assert got["clean"] == 1.0
+
+
 def test_contamination_matrix_planted_mirror_source(spark, tmp_path):
     """A mirror source sharing a verbatim doc overlaps; a disjoint source
     appears in no pair row (zero-overlap pairs absent by construction)."""
