@@ -20,7 +20,6 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import hashlib
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -29,7 +28,7 @@ from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep, scratch_dir
+from kafka_spark_streaming_eval_spark.session import fresh_scratch_dir, prep
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -196,10 +195,8 @@ def etl_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass: coalesce plans one task per output file reading whole input
     files, no shuffle, no sort, so it scales with output size."""
     li = _t(spark, sf_dir, "lineitem")
-    frag = scratch_dir("li_frag", sf_dir)
-    compact = scratch_dir("li_compact", sf_dir)
-    shutil.rmtree(frag, ignore_errors=True)
-    shutil.rmtree(compact, ignore_errors=True)
+    frag = fresh_scratch_dir("li_frag", sf_dir)
+    compact = fresh_scratch_dir("li_compact", sf_dir)
     li.repartition(48).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
     back = spark.read.parquet(compact)
@@ -237,11 +234,10 @@ def etl_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
     touched only its partition (static mode would have truncated the whole
     table).  At 100 TB this is how backfills work: rewrite day=2026-08-12,
     never scan or move the other ~3650 partitions."""
-    base = scratch_dir("orders_dynpart", sf_dir)
+    base = fresh_scratch_dir("orders_dynpart", sf_dir)
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    shutil.rmtree(base, ignore_errors=True)
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(base)
     patched = (
         o.where(F.col("o_orderstatus") == "F")

@@ -8,6 +8,7 @@ the parallelism at hand, and Arrow is enabled for any pandas exchange.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import SparkSession
@@ -82,6 +83,25 @@ def scratch_dir(tag: str, *keys: str) -> str:
         _sweep_dead_scratch()
     digest = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
     return f"/tmp/sgraft_{os.getpid()}_{tag}_{digest}"
+
+
+_FRESH_SCRATCH = itertools.count()
+
+
+def fresh_scratch_dir(tag: str, *keys: str) -> str:
+    """A never-reused scratch path: ``scratch_dir`` plus a process-unique
+    call counter.
+
+    Write-then-read queries MUST use this instead of rmtree-ing a shared
+    ``scratch_dir`` path: the DataFrame they return scans its staging dir
+    LAZILY (the driver collects it after the query function returns), so
+    deleting/overwriting a shared path on a later call would yank files out
+    from under a not-yet-collected plan — a race under concurrent execution
+    and a correctness bug even sequentially whenever two plans over the same
+    staging dir are alive at once.  Fresh paths are still PID-prefixed, so
+    ``_sweep_dead_scratch`` reclaims them once the process exits.
+    """
+    return scratch_dir(tag, *keys, f"call{next(_FRESH_SCRATCH)}")
 
 
 def prep(spark: SparkSession) -> SparkSession:

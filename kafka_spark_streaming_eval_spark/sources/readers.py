@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +27,11 @@ from kafka_spark_streaming_eval_spark.operators.metrics import _EV
 
 _DSUM_REV = dsum_sql("l_extendedprice * (1 - l_discount)")
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep, scratch_dir
+from kafka_spark_streaming_eval_spark.session import (
+    fresh_scratch_dir,
+    prep,
+    scratch_dir,
+)
 
 
 def write_run_csvs(spark: SparkSession, sf_dir: str) -> str:
@@ -39,8 +44,7 @@ def write_run_csvs(spark: SparkSession, sf_dir: str) -> str:
     job, not a million.  The hive-style ``event_type=x`` dirs are renamed
     to the reference's ``run_x`` layout afterwards (driver-side metadata
     only, one rename per partition)."""
-    base = scratch_dir("metrics_runs", sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_scratch_dir("metrics_runs", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms")
@@ -116,8 +120,7 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing, zero data read for other partitions), not a post-scan Filter —
     asserted in tests.  The oracle recomputes from the raw table, proving
     the partitioned round-trip is lossless."""
-    base = scratch_dir("events_by_type", sf_dir)
-    shutil.rmtree(base, ignore_errors=True)
+    base = fresh_scratch_dir("events_by_type", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
     back = spark.read.parquet(base).where(F.col("event_type") == "click")
@@ -129,28 +132,38 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_LOCK = threading.Lock()
+
+
 def write_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Persist orders and lineitem bucketed (8 buckets) + sorted on their
     join key as external tables; returns the two table names.  Idempotent
-    per sf_dir."""
+    per sf_dir; the lock makes concurrent in-process callers (a driver
+    running queries in parallel threads) serialize on the one-time build
+    instead of racing ``tableExists`` into a duplicate ``saveAsTable``."""
     prep(spark)
     # PID in the tag: catalog entries are per-session, but the backing /tmp
     # paths must not collide across concurrent processes on one host.
+    # scratch_dir (not a bare /tmp path) so the dead-PID sweep reclaims the
+    # bucketed files once this process exits.
     tag = f"{os.getpid()}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
-    for name, tbl, key in zip(names, ("orders", "lineitem"), ("o_orderkey", "l_orderkey")):
-        if spark.catalog.tableExists(name):
-            continue
-        path = f"/tmp/bucketed_{tag}/{tbl}"
-        shutil.rmtree(path, ignore_errors=True)
-        (
-            table(spark, sf_dir, tbl)
-            .write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(8, key)
-            .sortBy(key)
-            .saveAsTable(name)
-        )
+    with _BUCKETED_LOCK:
+        for name, tbl, key in zip(
+            names, ("orders", "lineitem"), ("o_orderkey", "l_orderkey")
+        ):
+            if spark.catalog.tableExists(name):
+                continue
+            path = os.path.join(scratch_dir("bucketed", sf_dir), tbl)
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .option("path", path)
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
     return names
 
 
@@ -229,13 +242,12 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Per-file footer merging is driver-side cost at listing time; at scale
     you pin the merged schema explicitly instead of inferring per query —
     here mergeSchema demonstrates the inference path.)"""
-    base = scratch_dir("events_schema_evo", sf_dir)
+    base = fresh_scratch_dir("events_schema_evo", sf_dir)
     ev = table(prep(spark), sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
     v1 = ev.where(F.col("event_id") % 2 == 0).drop("value")
     v2 = ev.where(F.col("event_id") % 2 == 1)
-    shutil.rmtree(base, ignore_errors=True)
     v1.write.mode("overwrite").parquet(f"{base}/gen=1")
     v2.write.mode("overwrite").parquet(f"{base}/gen=2")
     back = spark.read.option("mergeSchema", "true").parquet(base)
@@ -358,9 +370,8 @@ def range_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning ~3/30 days and scanning everything, WITHOUT Hive partition
     directories (range files compose with any partition scheme and avoid
     the small-files explosion of fine-grained partitioning)."""
-    base = scratch_dir("events_range_sorted", sf_dir)
+    base = fresh_scratch_dir("events_range_sorted", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
-    shutil.rmtree(base, ignore_errors=True)
     (
         ev.repartitionByRange(8, "ts")
         .sortWithinPartitions("ts")
@@ -401,7 +412,7 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lake's OPTIMIZE ZORDER BY.  The z-value is layout-only: it never
     appears in query results, so the oracle is the plain two-predicate
     aggregate."""
-    base = scratch_dir("events_zorder", sf_dir)
+    base = fresh_scratch_dir("events_zorder", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
     u = F.col("user_id") % 1024  # 10 bits
     d = F.dayofmonth("ts").cast("long")  # 5 bits
@@ -413,7 +424,6 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(d, bit).bitwiseAND(one), 2 * bit + 1)
             )
-    shutil.rmtree(base, ignore_errors=True)
     (
         ev.withColumn("_z", z)
         .repartitionByRange(8, "_z")
@@ -453,9 +463,8 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-tenant 100 TB lake needs.  The oracle reads the original parquet:
     matching results prove the roundtrip is lossless (types, timestamps,
     doubles) across formats."""
-    base = scratch_dir("lineitem_orc", sf_dir)
+    base = fresh_scratch_dir("lineitem_orc", sf_dir)
     li = table(prep(spark), sf_dir, "lineitem")
-    shutil.rmtree(base, ignore_errors=True)
     li.write.mode("overwrite").orc(base)
     back = spark.read.orc(base).where(F.col("l_shipdate") >= "1998-01-01")
     return back.groupBy("l_returnflag", "l_linestatus").agg(
@@ -488,9 +497,8 @@ def json_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive because Jackson emits shortest-roundtrip literals.  At 100 TB
     JSON is the ingest edge, not the storage format — this query is the
     bridge that proves JSON-in equals parquet-in."""
-    base = scratch_dir("events_json", sf_dir)
+    base = fresh_scratch_dir("events_json", sf_dir)
     ev = table(prep(spark), sf_dir, "events")
-    shutil.rmtree(base, ignore_errors=True)
     (
         ev.select(
             "event_id",
@@ -535,9 +543,8 @@ def parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle proves by reading the ORIGINAL snappy parquet.  The date
     filter still prunes on row-group min/max — compression wraps pages,
     not the stats metadata."""
-    base = scratch_dir("orders_zstd", sf_dir)
+    base = fresh_scratch_dir("orders_zstd", sf_dir)
     o = table(prep(spark), sf_dir, "orders")
-    shutil.rmtree(base, ignore_errors=True)
     o.write.mode("overwrite").option("compression", "zstd").parquet(base)
     back = spark.read.parquet(base).where(F.col("o_orderdate") >= "1997-01-01")
     return back.groupBy("o_orderpriority").agg(

@@ -17,6 +17,7 @@ equivalence directly).
 from __future__ import annotations
 
 import itertools
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,30 @@ from kafka_spark_streaming_eval_spark.session import prep
 from kafka_spark_streaming_eval_spark.streaming.generator import synth_events_batch
 
 _name_counter = itertools.count()
+
+# Staging dirs are content-keyed CACHES reused across calls (never deleted
+# while the process lives), so the only race is two in-process threads
+# building the same dir at once — e.g. a driver running stream queries in
+# parallel on one session.  One lock + a _READY sentinel serializes the
+# one-time build; every later call returns without touching the lock.
+_STAGE_LOCK = threading.Lock()
+
+
+def _ensure_staged(d: str, build) -> str:
+    """Thread-safe idempotent staging: the first caller runs ``build(d)``
+    and drops a ``_READY`` sentinel; concurrent callers block until it
+    lands; subsequent calls are a single existence check."""
+    import os
+
+    ready = os.path.join(d, "_READY")
+    if os.path.exists(ready):
+        return d
+    with _STAGE_LOCK:
+        if not os.path.exists(ready):
+            os.makedirs(d, exist_ok=True)
+            build(d)
+            open(ready, "w").close()
+    return d
 
 
 def _src_fingerprint(path: str) -> str:
@@ -53,11 +78,14 @@ def _stream_dir(sf_dir: str, name: str) -> str:
 
     src = f"{sf_dir}/{name}.parquet"
     d = scratch_dir("stream_src", sf_dir, name, _src_fingerprint(src))
-    os.makedirs(d, exist_ok=True)
-    link = f"{d}/{name}.parquet"
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    return d
+
+    def build(d: str) -> None:
+        try:
+            os.symlink(src, f"{d}/{name}.parquet")
+        except FileExistsError:
+            pass  # leftover from an interrupted build; same target
+
+    return _ensure_staged(d, build)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,50 +385,51 @@ def _left_outer_staged_dir(spark: SparkSession, sf_dir: str) -> str:
     from kafka_spark_streaming_eval_spark.session import scratch_dir
 
     src = f"{sf_dir}/events.parquet"
-    # PID + content fingerprint: no cross-process races on the _READY
-    # sentinel, and regenerated testdata invalidates the cached staging.
+    # PID + content fingerprint: no cross-process races, and regenerated
+    # testdata invalidates the cached staging; _ensure_staged serializes
+    # concurrent in-process builders.
     d = scratch_dir("stream_loj", sf_dir, _src_fingerprint(src))
-    if os.path.exists(os.path.join(d, "_READY")):
-        return d
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    import pyarrow.compute as pc
 
-    orig = pq.read_table(src)
-    max_ts = pc.max(orig.column("ts").cast(pa.int64())).as_py()
-    decade_ns = 10 * 365 * 24 * 3600 * 1_000_000_000
-    for i, name in enumerate(
-        ["sentinel_a.parquet", "sentinel_b.parquet", "sentinel_c.parquet"]
-    ):
-        # one click + one view per sentinel: the rows must SURVIVE each
-        # side's event_type filter (pushed below the watermark operator)
-        # or the watermark never advances; user_id -1 marks them for
-        # removal from the final result
-        row = {
-            "event_id": [-(2 * i + 1), -(2 * i + 2)],
-            "ts": [max_ts + (i + 1) * decade_ns] * 2,
-            "user_id": [-1, -1],
-            "event_type": ["click", "view"],
-            "value": [0.0, 0.0],
-            "props": ["{}", "{}"],
-        }
-        t = pa.table(
-            {
-                f.name: pa.array(row[f.name], type=pa.int64()).cast(f.type)
-                if pa.types.is_timestamp(f.type)
-                else pa.array(row[f.name], type=f.type)
-                for f in orig.schema
-            },
-            schema=orig.schema,
-        )
-        path = os.path.join(d, name)
-        pq.write_table(t, path)
-        # file source orders batches by mod time: sentinels strictly after
-        os.utime(path, (time.time() + 10 * (i + 1), time.time() + 10 * (i + 1)))
-    open(os.path.join(d, "_READY"), "w").close()
-    return d
+    def build(d: str) -> None:
+        import pyarrow.compute as pc
+
+        try:
+            os.symlink(src, os.path.join(d, "events.parquet"))
+        except FileExistsError:
+            pass  # leftover from an interrupted build; same target
+        orig = pq.read_table(src)
+        max_ts = pc.max(orig.column("ts").cast(pa.int64())).as_py()
+        decade_ns = 10 * 365 * 24 * 3600 * 1_000_000_000
+        for i, name in enumerate(
+            ["sentinel_a.parquet", "sentinel_b.parquet", "sentinel_c.parquet"]
+        ):
+            # one click + one view per sentinel: the rows must SURVIVE each
+            # side's event_type filter (pushed below the watermark operator)
+            # or the watermark never advances; user_id -1 marks them for
+            # removal from the final result
+            row = {
+                "event_id": [-(2 * i + 1), -(2 * i + 2)],
+                "ts": [max_ts + (i + 1) * decade_ns] * 2,
+                "user_id": [-1, -1],
+                "event_type": ["click", "view"],
+                "value": [0.0, 0.0],
+                "props": ["{}", "{}"],
+            }
+            t = pa.table(
+                {
+                    f.name: pa.array(row[f.name], type=pa.int64()).cast(f.type)
+                    if pa.types.is_timestamp(f.type)
+                    else pa.array(row[f.name], type=f.type)
+                    for f in orig.schema
+                },
+                schema=orig.schema,
+            )
+            path = os.path.join(d, name)
+            pq.write_table(t, path)
+            # file source orders batches by mod time: sentinels strictly after
+            os.utime(path, (time.time() + 10 * (i + 1), time.time() + 10 * (i + 1)))
+
+    return _ensure_staged(d, build)
 
 
 @register(
@@ -629,16 +658,18 @@ def stream_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFr
     prep(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
-    d = scratch_dir("stream_merge_src", sf_dir, _src_fingerprint(src))
-    if not os.path.exists(os.path.join(d, "_READY")):
-        os.makedirs(d, exist_ok=True)
+
+    def build(d: str) -> None:
         t = pa_pq.read_table(src)
         step = (t.num_rows + 3) // 4
         for i in range(4):
             pa_pq.write_table(
                 t.slice(i * step, step), os.path.join(d, f"part_{i}.parquet")
             )
-        open(os.path.join(d, "_READY"), "w").close()
+
+    d = _ensure_staged(
+        scratch_dir("stream_merge_src", sf_dir, _src_fingerprint(src)), build
+    )
     schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.schema(schema)

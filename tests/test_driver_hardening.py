@@ -1,0 +1,94 @@
+"""Driver-process fragility stress (VERDICT r4 items 2-3): the grading
+driver runs registry queries in ITS process — unknown cwd, unknown tempdir
+discipline, possibly interleaved or parallel execution over one shared
+SparkSession.  These tests reproduce those conditions for the two blocks
+that touch the local filesystem:
+
+- ``stream_*`` queries build their own micro-batch scaffolding (staged
+  source dirs, checkpoints, availableNow drains) — two of them running
+  CONCURRENTLY on one session must not race each other's staging or state.
+- ``src_*`` storage-layout queries write-then-read scratch datasets — a
+  second invocation must never corrupt the lazily-evaluated plan a prior
+  invocation returned (the fresh_scratch_dir contract), sequentially or in
+  parallel.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+
+import pytest
+
+from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+SPECS = all_queries()
+
+
+def _check(name, spark, ducks):
+    df = SPECS[name].fn(spark, SF_DIR)
+    assert_matches_oracle(df, ducks, SPECS[name].oracle, name)
+
+
+@pytest.mark.parametrize(
+    "pair",
+    [
+        # both stage the same stream_src events dir -> staging-cache race
+        ("stream_tumbling_counts", "stream_sliding_throughput"),
+        # stateful join + foreachBatch merge: two live streaming queries
+        # with separate checkpoints/state sharing one session
+        ("stream_stream_interval_join", "stream_foreachbatch_merge_upsert"),
+        # sentinel-staged left-outer alongside a plain windowed agg
+        ("stream_stream_left_outer_join", "stream_dedup_within_watermark"),
+    ],
+    ids=lambda p: f"{p[0]}+{p[1]}",
+)
+def test_concurrent_stream_queries_share_session(spark, ducks, pair):
+    """Two streaming queries run in parallel threads on ONE SparkSession;
+    each must still hash-match its oracle.  Flushes staging-dir TOCTOU
+    (symlink/_READY), memory-sink name collisions, and shared-conf races
+    before the driver can hit them."""
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {n: pool.submit(SPECS[n].fn, spark, SF_DIR) for n in pair}
+        dfs = {n: f.result(timeout=300) for n, f in futs.items()}
+    for n, df in dfs.items():
+        assert_matches_oracle(df, ducks, SPECS[n].oracle, n)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["src_partition_pruned_scan", "src_bucketed_colocated_join"],
+)
+def test_concurrent_same_src_query(spark, ducks, name):
+    """The same storage-layout query twice in parallel on one session: the
+    two calls stage independent fresh dirs (or serialize on the bucketed-
+    table build lock) and both results match the oracle."""
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(SPECS[name].fn, spark, SF_DIR)
+        f2 = pool.submit(SPECS[name].fn, spark, SF_DIR)
+        df1, df2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert_matches_oracle(df1, ducks, SPECS[name].oracle, name)
+    assert_matches_oracle(df2, ducks, SPECS[name].oracle, name)
+
+
+def test_lazy_plan_survives_requery(spark, ducks):
+    """Regression for the shared-scratch rmtree hazard: obtain a DataFrame
+    from a write-then-read query, invoke the SAME query again (which stages
+    a new dataset), then collect the FIRST DataFrame.  Under the old
+    shared-path staging the second call deleted the files under the first
+    plan; with fresh_scratch_dir both must still match the oracle."""
+    name = "src_range_sorted_scan"
+    df1 = SPECS[name].fn(spark, SF_DIR)
+    df2 = SPECS[name].fn(spark, SF_DIR)
+    assert_matches_oracle(df1, ducks, SPECS[name].oracle, name + "[first]")
+    assert_matches_oracle(df2, ducks, SPECS[name].oracle, name + "[second]")
+
+
+def test_lazy_plan_survives_requery_etl(spark, ducks):
+    """Same contract for the etl write-then-read queries (compaction uses
+    two staged copies; dynamic-overwrite rewrites one partition)."""
+    for name in ("etl_compaction_binpack", "etl_partition_overwrite_dynamic"):
+        df1 = SPECS[name].fn(spark, SF_DIR)
+        df2 = SPECS[name].fn(spark, SF_DIR)
+        assert_matches_oracle(df1, ducks, SPECS[name].oracle, name + "[first]")
+        assert_matches_oracle(df2, ducks, SPECS[name].oracle, name + "[second]")

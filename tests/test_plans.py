@@ -99,12 +99,15 @@ def test_compaction_reduces_files(spark):
     partition, so at a small test scale factor some of the 48 round-robin
     partitions may be empty."""
     import glob
-
-    from kafka_spark_streaming_eval_spark.session import scratch_dir
+    import os
 
     SPECS["etl_compaction_binpack"].fn(spark, SF_DIR).collect()
-    n_frag = len(glob.glob(f"{scratch_dir('li_frag', SF_DIR)}/part-*"))
-    n_comp = len(glob.glob(f"{scratch_dir('li_compact', SF_DIR)}/part-*"))
+    # staging dirs are per-call fresh (fresh_scratch_dir): take the newest
+    latest = lambda tag: max(  # noqa: E731
+        glob.glob(f"/tmp/sgraft_{os.getpid()}_{tag}_*"), key=os.path.getmtime
+    )
+    n_frag = len(glob.glob(f"{latest('li_frag')}/part-*"))
+    n_comp = len(glob.glob(f"{latest('li_compact')}/part-*"))
     assert n_comp <= 4, n_comp
     assert n_frag > n_comp, (n_frag, n_comp)
 
