@@ -191,8 +191,18 @@ def main() -> None:
     # Warm-up: boots the JVM, JIT, filesystem caches — excluded from timing.
     specs["ref_minmax_anchor"].fn(spark, sf_dir).count()
 
+    # SPARK_GRAFT_BENCH_SHUFFLE=<seed>: time the same queries in a
+    # deterministically shuffled order — the churn-audit knob that separates
+    # "this query got slower" from "this JVM position got slower".
+    order = list(HEADLINE)
+    shuffle_seed = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE")
+    if shuffle_seed:
+        import random
+
+        random.Random(int(shuffle_seed)).shuffle(order)
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
 
     eps = throughput_eps(spark)
