@@ -78,6 +78,9 @@ HEADLINE = [
     "text_unigram_surprisal",
     "pipeline_tokenizer_fertility",
     "text_contamination_matrix",
+    "stream_incremental_contamination",
+    "pipeline_dsir_importance",
+    "sim_semantic_dedup",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

@@ -382,11 +382,13 @@ def test_rotation_order_never_green_first():
     assert all(flags[first_green:]), "a never-green query sorts after a green one"
     never = [n for n in names if n not in green]
     if never:
-        from kafka_spark_streaming_eval_spark.operators import corpus
+        from kafka_spark_streaming_eval_spark.operators import corpus, curation
 
         late = {
-            n for n in never
+            n
+            for n in never
             if getattr(corpus, n, None) is not None
+            or getattr(curation, n, None) is not None
         }
         if late:
             cutoff = max(
@@ -395,3 +397,8 @@ def test_rotation_order_never_green_first():
             assert all(never.index(n) > cutoff for n in late), (
                 "late-round additions displace the older never-green backlog"
             )
+    # the whole never-green set must fit inside the driver's 50-query
+    # budget, or some backlog query silently waits another round
+    assert len(never) <= 50, (
+        f"{len(never)} never-green queries exceed the 50-query driver budget"
+    )

@@ -625,3 +625,80 @@ def test_contamination_matrix_planted_mirror_source(spark, tmp_path):
     r = pairs[("mirror", "origin")]
     assert r.n_shared == r.size_a == r.size_b == 4  # 6 tokens -> 4 shingles
     assert r.jaccard == 1.0
+
+
+def test_semantic_dedup_drops_centroid_near_duplicate(spark, tmp_path):
+    """SemDeDup keep rule on a planted cluster: two identical vectors (an
+    exact semantic duplicate, cos = 1 > tau) plus one orthogonal outlier.
+    Exactly one of the duplicate pair is dropped — the one with the larger
+    vec_id (equal centroid-cosines tie-break on id) — and a well-separated
+    control cluster loses nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],  # 0: label 0, dup A
+        [1.0, 0.0, 0.0, 0.0],  # 1: label 0, dup B (dropped: larger id)
+        [0.0, 1.0, 0.0, 0.0],  # 2: label 0, orthogonal -> kept
+        [0.0, 0.0, 1.0, 0.0],  # 3: label 1, control
+        [0.0, 0.0, 0.0, 1.0],  # 4: label 1, orthogonal control
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(5), type=pa.int64()),
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 0, 1, 1], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = {r.label: r for r in SPECS["sim_semantic_dedup"].fn(spark, str(tmp_path)).collect()}
+    assert out[0].n_members == 3 and out[0].n_dropped == 1 and out[0].n_kept == 2
+    assert out[1].n_members == 2 and out[1].n_dropped == 0 and out[1].n_kept == 2
+
+
+def test_dsir_importance_target_like_scores_higher(spark, tmp_path):
+    """DSIR weights on a planted corpus: a document made of target-domain
+    bigrams outscores one made of bigrams absent from the target slice
+    (whose lift, and hence importance, is exactly 0)."""
+    from kafka_spark_streaming_eval_spark.operators.curation import (
+        DSIR_TARGET_SOURCE,
+    )
+    from tests.test_properties import _mini_sf
+
+    docs = [
+        (1, "alpha beta alpha beta", "en", DSIR_TARGET_SOURCE, 21),
+        (2, "alpha beta gamma", "en", DSIR_TARGET_SOURCE, 16),
+        (3, "alpha beta alpha", "en", "srcX", 16),   # target-like
+        (4, "omega psi chi phi", "en", "srcX", 17),  # never in target
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    out = {r.doc_id: r for r in SPECS["pipeline_dsir_importance"].fn(spark, d).collect()}
+    assert out[4].importance == 0.0 and out[4].lift_q_sum == 0
+    assert out[3].importance > out[4].importance
+    assert out[3].n_feats == 2 and out[4].n_feats == 3
+    # cross-engine: the oracle over the same planted corpus agrees exactly
+    oracle = SPECS["pipeline_dsir_importance"].oracle
+    got = {r[0]: r for r in con.execute(oracle).fetchall()}
+    for doc_id, r in out.items():
+        assert got[doc_id][1:] == (r.n_feats, r.lift_q_sum, r.importance)
+
+
+def test_incremental_contamination_planted_copy(spark, tmp_path):
+    """A streamed document copying a benchmark shingle is flagged with the
+    exact distinct-hit count; a disjoint source is absent by construction."""
+    from kafka_spark_streaming_eval_spark.operators.curation import BENCH_SOURCE
+    from tests.test_properties import _mini_sf
+
+    docs = [
+        (1, "x y z w", "en", BENCH_SOURCE, 7),       # bench: shingles "x y z", "y z w"
+        (2, "a b x y z c", "en", "srcA", 11),        # contains "x y z" once
+        (3, "p q r s t", "en", "srcB", 9),           # disjoint
+        (4, "x y z w extra", "en", "srcC", 13),      # both bench shingles
+    ]
+    d, _ = _mini_sf(tmp_path, spark, documents=docs)
+    out = {r.source: r for r in SPECS["stream_incremental_contamination"].fn(spark, d).collect()}
+    assert set(out) == {"srcA", "srcC"}
+    assert out["srcA"].n_docs_contaminated == 1 and out["srcA"].n_shingle_hits == 1
+    assert out["srcC"].n_docs_contaminated == 1 and out["srcC"].n_shingle_hits == 2
