@@ -81,6 +81,8 @@ HEADLINE = [
     "stream_incremental_contamination",
     "pipeline_dsir_importance",
     "sim_semantic_dedup",
+    "dedup_cdc_chunks",
+    "join_bloom_prefilter",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

@@ -3,7 +3,7 @@ earlier query so the 27-query never-green driver backlog drains first —
 see ``plans/registry.py:all_queries`` and the registration-order note in
 ``registry._load_all``).
 
-Three operators a 100 TB pre-training curation pipeline runs between raw
+Five operators a 100 TB pre-training curation pipeline runs between raw
 ingest and the training mix, completing the LLM-data block:
 
 - ``stream_incremental_contamination`` — the STREAMING form of round-4's
@@ -22,6 +22,14 @@ ingest and the training mix, completing the LLM-data block:
   a cosine threshold drop the member closer to the centroid (keep the
   most peripheral = most informative exemplar), reported as per-cluster
   keep/drop accounting.
+- ``dedup_cdc_chunks`` — FastCDC-style content-defined chunking at token
+  granularity: offset-invariant chunk boundaries expose content shared
+  between partially-overlapping documents (boilerplate, quoted replies),
+  the sub-document dedup signal whole-doc hashing misses.
+- ``join_bloom_prefilter`` — declarative Bloom-filter semi-join
+  reduction: the map-side fact-table prefilter that avoids shuffling a
+  fact table against a filtered dimension, with the false-positive rate
+  measured in-query.
 """
 
 from __future__ import annotations
@@ -520,4 +528,305 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_d").cast("long").alias("n_dropped"),
             (F.count(F.lit(1)) - F.count("_d")).cast("long").alias("n_kept"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (sub-document dedup)
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 8  # expected chunk length in tokens (boundary prob 1/8)
+
+
+@register(
+    "dedup_cdc_chunks",
+    "dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    bounds AS (
+      SELECT doc_id, source, t, n,
+             list_filter(generate_series(1, n),
+               i -> i = n OR
+                    ((instr('{_HEX}', substr(md5(t[i]), 1, 1)) - 1) * 16 +
+                     instr('{_HEX}', substr(md5(t[i]), 2, 1)) - 1) % {CDC_MOD} = 0
+             ) AS bpos
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               list_slice(t, CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END,
+                          bpos[j]), ' ')) AS chunk_md5,
+             bpos[j] - (CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] + 1 END) + 1
+               AS n_chunk_tokens
+      FROM (SELECT doc_id, source, t, bpos,
+                   unnest(generate_series(1, len(bpos))) AS j
+            FROM bounds)
+    ),
+    shared AS (
+      SELECT chunk_md5 FROM chunks
+      GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.source,
+           count(*) AS n_chunks,
+           CAST(sum(c.n_chunk_tokens) AS BIGINT) AS n_tokens,
+           count(s.chunk_md5) AS n_shared_chunks,
+           CAST(COALESCE(sum(c.n_chunk_tokens) FILTER (
+             WHERE s.chunk_md5 IS NOT NULL), 0) AS BIGINT) AS shared_token_mass
+    FROM chunks c LEFT JOIN shared s USING (chunk_md5)
+    GROUP BY c.source
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (FastCDC at token granularity): a chunk
+    boundary falls after any token whose md5-derived byte is 0 mod
+    {CDC_MOD} (plus a forced boundary at doc end), so identical passages
+    produce identical chunks REGARDLESS of their offset in the document —
+    the property fixed-stride chunking lacks and the reason CDC is how
+    storage systems and sub-document dedup find shared content between
+    partially-overlapping documents (boilerplate, quoted replies,
+    syndicated paragraphs).  Chunks leave the query as md5 ids; output is
+    the per-source sub-document dedup ledger: total vs shared chunk count
+    and the token mass a chunk-level dedup pass would reclaim.
+
+    Determinism: boundaries are a pure function of token bytes (md5 hex →
+    instr grid — the engine-neutral hash used corpus-wide); chunk ids are
+    md5 of the exact token slice; counts are integers.
+
+    Plan: boundary positions and chunk slices are higher-order array ops
+    over the materialized token array (map-side, zero shuffles until the
+    chunk-id aggregation); the shared-chunk detection is one groupBy on
+    the 16-byte chunk id.  At 100 TB the explode produces
+    ~corpus_tokens/{CDC_MOD} rows carrying md5s, not text — the same
+    shuffle-mass argument as the shingle pipeline."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+
+    # token hash byte, Column-API form usable inside the filter lambda
+    # (F.conv hex->dec == the oracle's instr-grid arithmetic for 2 digits)
+    def tok_byte(i):
+        return F.conv(
+            F.substring(F.md5(F.element_at(F.col("t"), i)), 1, 2), 16, 10
+        ).cast("int")
+
+    # boundary positions (1-based): token hash hits the modulus, or doc end
+    bounds = base.withColumn(
+        "bpos",
+        F.filter(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: (i == F.col("n")) | (tok_byte(i) % CDC_MOD == 0),
+        ),
+    )
+    chunks = (
+        bounds.select(
+            "doc_id",
+            "source",
+            "t",
+            "bpos",
+            F.explode(F.sequence(F.lit(1), F.size("bpos"))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "t",
+            F.when(F.col("j") == 1, F.lit(1))
+            .otherwise(F.element_at("bpos", F.col("j") - 1) + 1)
+            .alias("start"),
+            F.element_at("bpos", F.col("j")).alias("end"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("t"), F.col("start"), F.col("end") - F.col("start") + 1),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+            (F.col("end") - F.col("start") + 1).alias("n_chunk_tokens"),
+        )
+    )
+    shared = (
+        chunks.groupBy("chunk_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("chunk_md5", F.lit(1).alias("_s"))
+    )
+    return (
+        chunks.join(shared, "chunk_md5", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+            F.count("_s").alias("n_shared_chunks"),
+            F.coalesce(
+                F.sum(F.when(F.col("_s").isNotNull(), F.col("n_chunk_tokens"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("shared_token_mass"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 16384  # 512 x 32-bit words; ~0.3 fill at sf0.1's dim cardinality
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos_sql(key_expr: str, offset: int) -> str:
+    """4-hex-digit slice of md5(key) starting at ``offset`` (1-based) as an
+    integer in [0, BLOOM_BITS) — instr-grid arithmetic, no from_hex."""
+    digits = [
+        f"(instr('{_HEX}', substr(md5({key_expr}), {offset + i}, 1)) - 1)"
+        for i in range(4)
+    ]
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"(({acc}) * 16 + {d})"
+    return f"(({acc}) % {BLOOM_BITS})"
+
+
+@register(
+    "join_bloom_prefilter",
+    "joins",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+    ),
+    bits AS (
+      SELECT {_bloom_pos_sql("CAST(c_custkey AS VARCHAR)", 1)} AS p FROM keys
+      UNION ALL
+      SELECT {_bloom_pos_sql("CAST(c_custkey AS VARCHAR)", 5)} AS p FROM keys
+    ),
+    bloom AS (
+      SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS word
+      FROM bits GROUP BY p // 32
+    ),
+    probed AS (
+      SELECT o.o_orderpriority,
+             ((COALESCE(b1.word, 0) >> (o.p1 % 32)) & 1) = 1
+             AND ((COALESCE(b2.word, 0) >> (o.p2 % 32)) & 1) = 1 AS bloom_pass,
+             k.c_custkey IS NOT NULL AS true_match
+      FROM (
+        SELECT o_orderkey, o_custkey, o_orderpriority,
+               {_bloom_pos_sql("CAST(o_custkey AS VARCHAR)", 1)} AS p1,
+               {_bloom_pos_sql("CAST(o_custkey AS VARCHAR)", 5)} AS p2
+        FROM orders
+      ) o
+      LEFT JOIN bloom b1 ON b1.w = o.p1 // 32
+      LEFT JOIN bloom b2 ON b2.w = o.p2 // 32
+      LEFT JOIN keys k ON k.c_custkey = o.o_custkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE bloom_pass) AS n_bloom_pass,
+           count(*) FILTER (WHERE true_match) AS n_true_match,
+           count(*) FILTER (WHERE bloom_pass AND NOT true_match) AS n_false_pos
+    FROM probed
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — THE 100 TB join-reduction
+    pattern: instead of shuffling the fact table against a filtered
+    dimension, a {BLOOM_BITS}-bit Bloom filter (512 BIGINT words, built
+    with one tiny aggregation over the dim keys, 2 hash functions from
+    disjoint md5 hex slices) is broadcast and applied MAP-SIDE to every
+    fact row; only passing rows ever reach the real join.  The query
+    reports, per order priority, exactly what the filter buys: total
+    rows, bloom-passing rows, true semi-join matches, and false
+    positives — the observed fp rate vs the (1-e^(-kn/m))^k design point.
+    This is what Spark's AQE runtime-bloom-filter rewrite does
+    internally; here it is expressed declaratively so the mechanism is
+    testable bit-for-bit.
+
+    Determinism: bit positions are pure md5 hex arithmetic; the filter
+    words are BIGINT bit_or folds (associative, order-independent);
+    probes are integer shifts.  No floats anywhere.
+
+    Plan: the bloom build is a <=512-row aggregate over the filtered dim;
+    both bloom word lookups and the exactness audit join are broadcasts,
+    so the fact table is scanned once, map-side only, and the single
+    exchange is the final ~5-group rollup."""
+    prep(spark)
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    keys = (
+        cust.where(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+        .distinct()
+    )
+
+    def pos(col, offset):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), offset, 4), 16, 10)
+            .cast("long")
+            % BLOOM_BITS
+        )
+
+    bits = keys.select(pos(F.col("c_custkey"), 1).alias("p")).unionAll(
+        keys.select(pos(F.col("c_custkey"), 5).alias("p"))
+    )
+    bloom = bits.groupBy((F.col("p") / 32).cast("long").alias("w")).agg(
+        F.bit_or(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")).alias(
+            "word"
+        )
+    )
+    probed = (
+        orders.select(
+            "o_orderpriority",
+            "o_custkey",
+            pos(F.col("o_custkey"), 1).alias("p1"),
+            pos(F.col("o_custkey"), 5).alias("p2"),
+        )
+        .join(
+            F.broadcast(bloom.select(F.col("w").alias("w1"), F.col("word").alias("word1"))),
+            F.expr("CAST(p1 / 32 AS BIGINT)") == F.col("w1"),
+            "left",
+        )
+        .join(
+            F.broadcast(bloom.select(F.col("w").alias("w2"), F.col("word").alias("word2"))),
+            F.expr("CAST(p2 / 32 AS BIGINT)") == F.col("w2"),
+            "left",
+        )
+        .join(
+            F.broadcast(keys.select(F.col("c_custkey").alias("_k"), F.lit(1).alias("_m"))),
+            F.col("o_custkey") == F.col("_k"),
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            (
+                (
+                    F.expr(
+                        "shiftright(COALESCE(word1, CAST(0 AS BIGINT)), CAST(p1 % 32 AS INT))"
+                    ).bitwiseAND(F.lit(1))
+                    == 1
+                )
+                & (
+                    F.expr(
+                        "shiftright(COALESCE(word2, CAST(0 AS BIGINT)), CAST(p2 % 32 AS INT))"
+                    ).bitwiseAND(F.lit(1))
+                    == 1
+                )
+            ).alias("bloom_pass"),
+            F.col("_m").isNotNull().alias("true_match"),
+        )
+    )
+    return probed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("bloom_pass")).alias("n_bloom_pass"),
+        F.count_if(F.col("true_match")).alias("n_true_match"),
+        F.count_if(F.col("bloom_pass") & ~F.col("true_match")).alias("n_false_pos"),
     )

@@ -702,3 +702,39 @@ def test_incremental_contamination_planted_copy(spark, tmp_path):
     assert set(out) == {"srcA", "srcC"}
     assert out["srcA"].n_docs_contaminated == 1 and out["srcA"].n_shingle_hits == 1
     assert out["srcC"].n_docs_contaminated == 1 and out["srcC"].n_shingle_hits == 2
+
+
+def test_cdc_chunks_find_shared_passage_at_different_offsets(spark, tmp_path):
+    """The CDC property: a passage shared by two documents at DIFFERENT
+    token offsets still produces identical interior chunks (boundaries are
+    content-defined, not position-defined), so the shared mass is detected;
+    a disjoint source shares nothing."""
+    from tests.test_properties import _mini_sf
+
+    passage = " ".join(f"shared{i}" for i in range(64))
+    docs = [
+        (1, "lead " + passage + " tail", "en", "srcA", 0),
+        (2, "a b c d e f g h i j " + passage, "en", "srcB", 0),
+        (3, " ".join(f"other{i}" for i in range(64)), "en", "srcC", 0),
+    ]
+    d, con = _mini_sf(tmp_path, spark, documents=docs)
+    out = {r.source: r for r in SPECS["dedup_cdc_chunks"].fn(spark, d).collect()}
+    assert out["srcA"].n_shared_chunks > 0 and out["srcA"].shared_token_mass > 0
+    assert out["srcB"].n_shared_chunks > 0 and out["srcB"].shared_token_mass > 0
+    assert out["srcC"].n_shared_chunks == 0 and out["srcC"].shared_token_mass == 0
+    # token conservation: chunks partition each document exactly
+    assert sum(r.n_tokens for r in out.values()) == sum(
+        len(t.split(" ")) for _, t, *_ in docs
+    )
+
+
+def test_bloom_prefilter_never_false_negative(spark, ducks):
+    """The Bloom guarantee: every true semi-join match passes the filter,
+    so per group n_bloom_pass == n_true_match + n_false_pos exactly, and
+    the filter actually filters (passes < total) at this scale."""
+    rows = SPECS["join_bloom_prefilter"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bloom_pass == r.n_true_match + r.n_false_pos, r
+        assert r.n_bloom_pass <= r.n_orders
+    assert sum(r.n_bloom_pass for r in rows) < sum(r.n_orders for r in rows)
