@@ -83,6 +83,11 @@ HEADLINE = [
     "sim_semantic_dedup",
     "dedup_cdc_chunks",
     "join_bloom_prefilter",
+    "pipeline_snapshot_diff",
+    "text_quality_classifier",
+    "pipeline_domain_cap",
+    "window_ewma_exact",
+    "agg_incremental_merge",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

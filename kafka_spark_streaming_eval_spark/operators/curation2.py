@@ -1,0 +1,478 @@
+"""Round-5 second-batch operators (registered AFTER ``operators.curation``
+so the never-green driver rotation backlog keeps draining first — see the
+registration-order note in ``plans/registry._load_all``).
+
+Five operators that round out the lakehouse/curation surface:
+
+- ``pipeline_snapshot_diff`` — snapshot-to-snapshot change-data-capture:
+  the full-outer digest-compare diff (added / deleted / changed /
+  unchanged) that incremental ingestion, SCD maintenance, and audit
+  tooling run between two table versions.
+- ``text_quality_classifier`` — fastText-style hashed-feature linear
+  quality scorer (the CCNet / GPT-3 quality-filter shape) evaluated
+  entirely map-side with deterministic md5-derived weights.
+- ``pipeline_domain_cap`` — C4-style per-domain document cap: bound any
+  single domain's share of the training mix via a deterministic ranked
+  window, reporting kept/dropped mass per source.
+- ``window_ewma_exact`` — exponentially-weighted moving average with
+  EXACT rational weights (alpha = 1/4, 8-term horizon, weights summing
+  to exactly 16384/16384) — the time-decayed feature column computed
+  without float ``pow`` so it is bit-identical cross-engine.
+- ``agg_incremental_merge`` — algebraic partial-state maintenance: per-
+  slice (count, decimal-sum, min, max) states merged and PROVEN equal to
+  the direct full-table aggregate in-query — the mergeable-state
+  contract that lets 100 TB aggregations run incrementally (the general
+  form of ``agg_hll_partitioned_merge``'s sketch merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka_spark_streaming_eval_spark.catalog import table
+from kafka_spark_streaming_eval_spark.operators.curation import _HEX, _bucket_sql
+from kafka_spark_streaming_eval_spark.plans.registry import register
+from kafka_spark_streaming_eval_spark.session import prep
+
+DOMAIN_COUNT = 32  # synthesized registrable-domain space for the cap exhibit
+DOMAIN_CAP = 12  # max documents any one domain may contribute
+
+
+def _hb(col):
+    """First-2-hex-digit byte value of md5(col) as INT — the Column-API
+    twin of ``curation._bucket_sql`` (F.conv hex->dec == the instr-grid
+    arithmetic, proven equivalent in ``dedup_cdc_chunks``)."""
+    return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (change-data-capture between table versions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_snapshot_diff",
+    "pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h1,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) AS h2,
+             substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1) AS h3
+      FROM orders
+    ),
+    v1 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           o_orderpriority)) AS d
+      FROM base WHERE h1 <> 'f'
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                           CASE WHEN h3 = '0' THEN '9-CHANGED'
+                                ELSE o_orderpriority END)) AS d
+      FROM base WHERE h2 <> 'f'
+    )
+    SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'deleted'
+                WHEN v1.d <> v2.d THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_rows,
+           CAST(sum(COALESCE(v1.k, v2.k)) AS BIGINT) AS key_checksum
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    GROUP BY 1
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: rows present only
+    in the new version are ``added``, rows that vanished are ``deleted``,
+    rows whose CONTENT DIGEST differs are ``changed``, the rest
+    ``unchanged`` — the diff every incremental-ingest / SCD / audit
+    pipeline computes between yesterday's and today's extract.  The two
+    snapshots are derived deterministically from ``orders`` (md5 hex
+    digits of the key decide membership; a third digit marks rows whose
+    priority was rewritten between versions), so both engines see
+    identical versions without extra fixture files.
+
+    Determinism: membership and the changed-row rewrite are pure md5-hex
+    functions of the key; content comparison is md5 over a '|'-joined
+    canonical column tuple; checksums are BIGINT sums.
+
+    Plan: each snapshot projects to (key BIGINT, 16-byte digest) BEFORE
+    the join, so the full-outer shuffle moves 24 bytes/row, not rows —
+    the digest-compare trick that makes snapshot diffs tractable at
+    100 TB.  The full-outer sort-merge join on the key is the one
+    unavoidable exchange; with both snapshot tables bucketed by key
+    (``src_bucketed_colocated_join``'s layout) it becomes zero-exchange."""
+    o = table(prep(spark), sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.substring(h, 1, 1).alias("h1"),
+        F.substring(h, 2, 1).alias("h2"),
+        F.substring(h, 3, 1).alias("h3"),
+    )
+    v1 = base.where(F.col("h1") != "f").select(
+        F.col("o_orderkey").alias("k1"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("d1"),
+    )
+    v2 = base.where(F.col("h2") != "f").select(
+        F.col("o_orderkey").alias("k2"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.when(F.col("h3") == "0", F.lit("9-CHANGED")).otherwise(
+                    F.col("o_orderpriority")
+                ),
+            )
+        ).alias("d2"),
+    )
+    return (
+        v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+        .select(
+            F.when(F.col("k1").isNull(), F.lit("added"))
+            .when(F.col("k2").isNull(), F.lit("deleted"))
+            .when(F.col("d1") != F.col("d2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            F.coalesce("k1", "k2").alias("k"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_classifier",
+    "text",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(list_sum(list_transform(string_split(lower(text), ' '),
+               tok -> {_bucket_sql(f"('w' || CAST({_bucket_sql('tok')} AS VARCHAR))")} - 128
+             )) AS BIGINT) AS score,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE score >= 0) AS n_keep,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM scored GROUP BY source
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (the CCNet / GPT-3
+    quality-filter shape): every token hashes into a 256-bucket feature
+    space, each bucket carries a fixed signed weight, and a document's
+    quality score is the sum of its token weights; ``score >= 0`` keeps
+    the document.  Real models broadcast a (2^20-bucket x weight) table;
+    here the 256-entry lookup is inlined as a pure md5 expression
+    (weight(b) = md5-byte('w'||b) - 128 in [-128, 127]) so the exhibit is
+    deterministic without fixture files while exercising the exact
+    hashed-trick scoring plan.
+
+    Determinism: buckets and weights are md5-hex arithmetic (F.conv ==
+    the oracle's instr grid); scores are BIGINT sums.
+
+    Plan: the per-document score is one ``F.aggregate`` fold over the
+    token array — NO explode, NO shuffle, no UDF; the only exchange is
+    the final per-source rollup.  At 100 TB the filter is a map-only
+    pass, which is why hashed linear scorers (not transformer rerankers)
+    gate the first trillion tokens of a curation funnel."""
+    d = table(prep(spark), sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + (_hb(F.concat(F.lit("w"), _hb(t).cast("string"))) - 128).cast("long"),
+    )
+    scored = d.select(
+        "source", score.alias("score"), F.size(toks).alias("n_tok")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("score") >= 0).alias("n_keep"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_domain_cap",
+    "pipeline",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source,
+             ({_bucket_sql("CAST(doc_id AS VARCHAR)")}) % {DOMAIN_COUNT} AS dom,
+             row_number() OVER (
+               PARTITION BY ({_bucket_sql("CAST(doc_id AS VARCHAR)")}) % {DOMAIN_COUNT}
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':rank'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE rn <= {DOMAIN_CAP}) AS n_kept,
+           count(*) FILTER (WHERE rn > {DOMAIN_CAP}) AS n_dropped,
+           count(DISTINCT dom) AS n_domains
+    FROM ranked GROUP BY source
+    """,
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain cap: no domain may contribute more than
+    {DOMAIN_CAP} documents to the training mix, enforced by a
+    deterministic ranked window per domain (rank key = md5(doc_id||
+    ':rank'), i.e. a reproducible uniform shuffle WITHIN each domain, so
+    the kept subset is stable across runs and engines).  Domains are
+    synthesized from doc_id md5 bytes ({DOMAIN_COUNT} of them) since the
+    testdata carries no URL column; the plan is identical with a real
+    ``parse_url(..., 'HOST')`` key (``scalar_url_battery`` exercises
+    that extraction).
+
+    Determinism: domain assignment, rank key, and counts are md5-hex /
+    integer arithmetic end to end.
+
+    Plan: one hash exchange on the domain key, one ranked window per
+    domain, map-side rollup to the per-source ledger.  At 100 TB a head
+    domain (the wikipedia.org problem) would skew a single reducer —
+    production form first caps per (domain, md5-shard) then re-caps the
+    ~shards*cap survivors per domain, the two-level running-sum pattern
+    ``pipeline_mix_quota`` already exhibits; the one-level form here
+    keeps the oracle exact while the docstring pins the scale plan."""
+    d = table(prep(spark), sf_dir, "documents")
+    dom = (_hb(F.col("doc_id").cast("string")) % DOMAIN_COUNT).alias("dom")
+    ranked = d.select("source", "doc_id", dom).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("dom").orderBy(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rank"))),
+                "doc_id",
+            )
+        ),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rn") <= DOMAIN_CAP).alias("n_kept"),
+        F.count_if(F.col("rn") > DOMAIN_CAP).alias("n_dropped"),
+        F.count_distinct("dom").alias("n_domains"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-rational EWMA
+# ---------------------------------------------------------------------------
+
+# alpha = 1/4, horizon 8: weights alpha*(1-alpha)^i scaled by 4^7 = 16384 are
+# the INTEGERS 3^i * 4^(6-i) for i = 0..6 plus a 3^7 tail that absorbs the
+# remaining mass, so they sum to exactly 16384 and the scaled EWMA is an
+# exact decimal — no float pow anywhere.
+EWMA_WEIGHTS = [4096, 3072, 2304, 1728, 1296, 972, 729, 2187]
+assert sum(EWMA_WEIGHTS) == 16384
+
+
+@register(
+    "window_ewma_exact",
+    "window",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT event_type,
+             {" + ".join(
+                 f"{w} * lag(CAST(value AS DECIMAL(18,2)), {i}) OVER "
+                 "(PARTITION BY user_id ORDER BY ts, event_id)"
+                 if i else f"{w} * CAST(value AS DECIMAL(18,2))"
+                 for i, w in enumerate(EWMA_WEIGHTS)
+             )} AS ewma_scaled,
+             lag(value, {len(EWMA_WEIGHTS) - 1}) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS tail
+      FROM (SELECT * REPLACE (date_trunc('milliseconds', ts) AS ts) FROM events)
+    )
+    SELECT event_type,
+           count(*) AS n_windows,
+           CAST(sum(ewma_scaled) AS DOUBLE) AS ewma_scaled_sum,
+           CAST(min(ewma_scaled) AS DOUBLE) AS ewma_scaled_min,
+           CAST(max(ewma_scaled) AS DOUBLE) AS ewma_scaled_max
+    FROM lagged WHERE tail IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def window_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average as an EXACT rational window:
+    alpha = 1/4 over an 8-event horizon, weights 3^i * 4^(6-i) (tail 3^7)
+    over the common denominator 4^7 = 16384 — they sum to exactly 1, and
+    because the 2-decimal event values are exact in DECIMAL, the scaled
+    EWMA is exact integer-cent arithmetic with zero float ``pow`` /
+    accumulation drift.  This is the time-decayed feature column
+    (recency-weighted engagement, decayed spend) feature stores emit for
+    training data, computed so two engines — or two cluster runs with
+    different partitioning — agree bit-for-bit.
+
+    Determinism: the window order (ts, event_id) is total (event_id
+    unique); weights are integer literals; arithmetic is DECIMAL.
+
+    Plan: one hash exchange on user_id, one per-user sort, 7 ``lag``
+    reads from the SAME window frame (a single window spec, so Catalyst
+    evaluates one WindowExec, not 7); rollup to event_type is map-side
+    combinable.  No self-join — the naive 8-way self-join form would
+    shuffle 8x the data."""
+    ev = table(prep(spark), sf_dir, "events")
+    wspec = W.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.col("value").cast("decimal(18,2)")
+    terms = [
+        F.lit(w) * (F.lag(x, i).over(wspec) if i else x)
+        for i, w in enumerate(EWMA_WEIGHTS)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    lagged = ev.select(
+        "event_type",
+        ewma.alias("ewma_scaled"),
+        F.lag("value", len(EWMA_WEIGHTS) - 1).over(wspec).alias("tail"),
+    ).where(F.col("tail").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("ewma_scaled").cast("double").alias("ewma_scaled_sum"),
+        F.min("ewma_scaled").cast("double").alias("ewma_scaled_min"),
+        F.max("ewma_scaled").cast("double").alias("ewma_scaled_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Algebraic partial-state merge (incremental aggregation maintenance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_incremental_merge",
+    "relational",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT event_type, value,
+             CASE WHEN ({_bucket_sql("CAST(event_id AS VARCHAR)")}) % 5 = 0
+                  THEN 'delta' ELSE 'base' END AS slc
+      FROM events
+    ),
+    partial AS (
+      SELECT slc, event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(38,6))) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM sliced GROUP BY slc, event_type
+    ),
+    merged AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s) AS DOUBLE) AS total,
+             min(mn) AS mn, max(mx) AS mx
+      FROM partial GROUP BY event_type
+    ),
+    direct AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+             min(value) AS mn, max(value) AS mx
+      FROM sliced GROUP BY event_type
+    )
+    SELECT m.event_type,
+           m.n AS n_events, m.total AS total_value,
+           m.mn AS v_min, m.mx AS v_max,
+           (m.n = d.n AND m.total = d.total AND m.mn = d.mn AND m.mx = d.mx)
+             AS matches_direct
+    FROM merged m JOIN direct d ON m.event_type = d.event_type
+    """,
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: the events table is split into
+    a 'base' slice and a 'delta' slice (md5 of the id — stand-in for
+    yesterday's materialized state plus today's arrivals), ALGEBRAIC
+    partial states (count, exact decimal sum, min, max) are computed per
+    slice, merged state-wise (counts and sums add, min/max fold), and the
+    merged result is PROVEN equal to the direct full-table aggregate by
+    an in-query comparison column.  This is the mergeable-state contract
+    behind incremental view maintenance: at 100 TB you maintain per-day
+    (or per-partition) states and merge at query time instead of
+    rescanning history — the general form of the sketch merges
+    ``agg_hll_partitioned_merge`` / ``agg_countmin_sketch`` exhibit, and
+    the reason sums go through DECIMAL (float partial sums would NOT
+    merge associatively; see functions/numeric.py).
+
+    Determinism: slice assignment is md5-hex arithmetic; sums are exact
+    DECIMAL; min/max of doubles are exact comparisons.
+
+    Plan: one exchange for the (slc, event_type) partial aggregate
+    (map-side combinable), a ~2-row-per-group merge, and a broadcast-size
+    self-check join — the check costs one extra scan here but would read
+    materialized state tables in production."""
+    ev = table(prep(spark), sf_dir, "events")
+    sliced = ev.select(
+        "event_type",
+        "value",
+        F.when(
+            _hb(F.col("event_id").cast("string")) % 5 == 0, F.lit("delta")
+        )
+        .otherwise(F.lit("base"))
+        .alias("slc"),
+    )
+    dec = F.col("value").cast("decimal(38,6)")
+    partial = sliced.groupBy("slc", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("double").alias("total"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    direct = sliced.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum(dec).cast("double").alias("dtotal"),
+        F.min("value").alias("dmn"),
+        F.max("value").alias("dmx"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("total").alias("total_value"),
+            F.col("mn").alias("v_min"),
+            F.col("mx").alias("v_max"),
+            (
+                (F.col("n") == F.col("dn"))
+                & (F.col("total") == F.col("dtotal"))
+                & (F.col("mn") == F.col("dmn"))
+                & (F.col("mx") == F.col("dmx"))
+            ).alias("matches_direct"),
+        )
+    )

@@ -153,3 +153,4 @@ def _load_all() -> None:
     # (asserted in tests/test_plans.py::test_rotation_order_never_green_first).
     from kafka_spark_streaming_eval_spark.operators import corpus  # noqa: F401
     from kafka_spark_streaming_eval_spark.operators import curation  # noqa: F401
+    from kafka_spark_streaming_eval_spark.operators import curation2  # noqa: F401

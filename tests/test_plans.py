@@ -382,13 +382,18 @@ def test_rotation_order_never_green_first():
     assert all(flags[first_green:]), "a never-green query sorts after a green one"
     never = [n for n in names if n not in green]
     if never:
-        from kafka_spark_streaming_eval_spark.operators import corpus, curation
+        from kafka_spark_streaming_eval_spark.operators import (
+            corpus,
+            curation,
+            curation2,
+        )
 
         late = {
             n
             for n in never
             if getattr(corpus, n, None) is not None
             or getattr(curation, n, None) is not None
+            or getattr(curation2, n, None) is not None
         }
         if late:
             cutoff = max(

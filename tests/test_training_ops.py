@@ -738,3 +738,80 @@ def test_bloom_prefilter_never_false_negative(spark, ducks):
         assert r.n_bloom_pass == r.n_true_match + r.n_false_pos, r
         assert r.n_bloom_pass <= r.n_orders
     assert sum(r.n_bloom_pass for r in rows) < sum(r.n_orders for r in rows)
+
+
+def test_snapshot_diff_partitions_every_surviving_key(spark):
+    """The four change categories partition the union of both snapshots
+    exactly, and 'changed' is precisely the doubly-surviving keys whose
+    third md5 hex digit marks the rewrite."""
+    rows = {
+        r.change_type: r
+        for r in SPECS["pipeline_snapshot_diff"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"added", "deleted", "changed", "unchanged"}
+    o = spark.read.parquet(SF_DIR + "/orders.parquet")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    in1, in2 = F.substring(h, 1, 1) != "f", F.substring(h, 2, 1) != "f"
+    assert sum(r.n_rows for r in rows.values()) == o.where(in1 | in2).count()
+    assert (
+        rows["changed"].n_rows
+        == o.where(in1 & in2 & (F.substring(h, 3, 1) == "0")).count()
+    )
+
+
+def test_quality_classifier_score_matches_hand_hash(spark, tmp_path):
+    """Reimplement the hashed-linear scorer with hashlib on a 3-token doc:
+    the engine's md5-bucket/weight arithmetic must reproduce it exactly."""
+    import hashlib
+
+    from tests.test_properties import _mini_sf
+
+    def hb(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+
+    toks = ["alpha", "beta", "gamma"]
+    expected = sum(hb("w" + str(hb(t))) - 128 for t in toks)
+    d, _ = _mini_sf(tmp_path, spark, documents=[(1, " ".join(toks), "en", "srcX", 0)])
+    row = SPECS["text_quality_classifier"].fn(spark, d).collect()[0]
+    assert row.sum_score == expected and row.sum_tokens == 3
+    assert row.n_keep == (1 if expected >= 0 else 0)
+
+
+def test_domain_cap_bounds_every_domain(spark):
+    """Cap conservation: kept+dropped == docs per source, global kept mass
+    is bounded by domains*cap, and sf0.01's 500 docs over 32 domains must
+    actually overflow the cap somewhere (the positive path)."""
+    from kafka_spark_streaming_eval_spark.operators.curation2 import (
+        DOMAIN_CAP,
+        DOMAIN_COUNT,
+    )
+
+    rows = SPECS["pipeline_domain_cap"].fn(spark, SF_DIR).collect()
+    assert all(r.n_kept + r.n_dropped == r.n_docs for r in rows)
+    assert sum(r.n_kept for r in rows) <= DOMAIN_COUNT * DOMAIN_CAP
+    assert sum(r.n_dropped for r in rows) > 0
+
+
+def test_ewma_constant_series_is_the_constant(spark, tmp_path):
+    """EWMA fixed point: a constant series' EWMA is the constant itself
+    (weights sum to exactly 16384/16384), for every complete window."""
+    import datetime as dt
+
+    from tests.test_properties import _mini_sf
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (i, base + dt.timedelta(seconds=i), 7, "view", 2.5, "{}")
+        for i in range(10)
+    ]
+    d, _ = _mini_sf(tmp_path, spark, events=events)
+    row = SPECS["window_ewma_exact"].fn(spark, d).collect()[0]
+    assert row.n_windows == 3  # rows 8..10 have full 8-event history
+    assert row.ewma_scaled_min == row.ewma_scaled_max == 16384 * 2.5
+
+
+def test_incremental_merge_matches_direct(spark):
+    """The algebraic-state merge must equal the direct aggregate on every
+    group — the in-query proof column is asserted TRUE across the board."""
+    rows = SPECS["agg_incremental_merge"].fn(spark, SF_DIR).collect()
+    assert rows and all(r.matches_direct for r in rows)
