@@ -88,6 +88,8 @@ HEADLINE = [
     "pipeline_domain_cap",
     "window_ewma_exact",
     "agg_incremental_merge",
+    "pipeline_priority_sample",
+    "profile_partition_skew",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

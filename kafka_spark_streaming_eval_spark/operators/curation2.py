@@ -2,7 +2,7 @@
 so the never-green driver rotation backlog keeps draining first — see the
 registration-order note in ``plans/registry._load_all``).
 
-Five operators that round out the lakehouse/curation surface:
+Seven operators that round out the lakehouse/curation surface:
 
 - ``pipeline_snapshot_diff`` — snapshot-to-snapshot change-data-capture:
   the full-outer digest-compare diff (added / deleted / changed /
@@ -23,6 +23,13 @@ Five operators that round out the lakehouse/curation surface:
   the direct full-table aggregate in-query — the mergeable-state
   contract that lets 100 TB aggregations run incrementally (the general
   form of ``agg_hll_partitioned_merge``'s sketch merge).
+- ``pipeline_priority_sample`` — Duffield-Lund-Thorup weighted priority
+  sampling: the reproducible token-weighted corpus sampler (u/w ranking,
+  per-source top-k) data-mixing pipelines use instead of seeded
+  ``sample()``.
+- ``profile_partition_skew`` — pre-shuffle partition-skew audit: the
+  per-reducer row/key/heaviest-key ledger that decides salting vs AQE
+  skew-split before a big shuffle runs.
 """
 
 from __future__ import annotations
@@ -475,4 +482,155 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("mx") == F.col("dmx"))
             ).alias("matches_direct"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 20  # weighted sample size per source
+
+
+@register(
+    "pipeline_priority_sample",
+    "pipeline",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, n_chars,
+             CAST(({_bucket_sql("CAST(doc_id AS VARCHAR)")}) * 16777216
+                  + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+                  + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+                  + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+                  + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+                  + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+                  + (instr('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+               AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority, doc_id) AS rn
+      FROM pri
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE rn <= {SAMPLE_K}) AS n_sampled,
+           CAST(COALESCE(sum(n_chars) FILTER (WHERE rn <= {SAMPLE_K}), 0)
+                AS BIGINT) AS sampled_chars,
+           CAST(COALESCE(sum(doc_id) FILTER (WHERE rn <= {SAMPLE_K}), 0)
+                AS BIGINT) AS sampled_id_checksum
+    FROM ranked GROUP BY source
+    """,
+)
+def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup): each document draws a deterministic uniform
+    u (32-bit md5 slice of its id) and is ranked by priority = u / w with
+    w = n_chars, so heavier documents sort earlier with probability
+    proportional to their weight; the {SAMPLE_K} smallest priorities per
+    source are the sample.  This is the estimator data-mixing pipelines
+    use to draw token-weighted corpus samples reproducibly — unlike
+    ``sample(fraction, seed)`` the result is independent of partitioning
+    and engine.
+
+    Determinism: u is exact integer md5 arithmetic; priority is ONE IEEE
+    double division (correctly rounded, bit-identical cross-engine — the
+    same single-rounding contract as pipeline_dsir_importance); ties are
+    impossible past the doc_id tiebreak.
+
+    Plan: priorities are map-side; one exchange on source for the ranked
+    window (WindowGroupLimit prunes to k rows per partition before the
+    sort completes), rollup map-side.  At 100 TB the per-source top-k is
+    a per-partition k-heap — no global sort, no collect."""
+    d = table(prep(spark), sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pri = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            u32.cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    ranked = pri.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy("priority", "doc_id")
+        ),
+    )
+    keep = F.col("rn") <= SAMPLE_K
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(keep).alias("n_sampled"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("sampled_chars"),
+        F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0))
+        .cast("long")
+        .alias("sampled_id_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pre-shuffle partition-skew audit
+# ---------------------------------------------------------------------------
+
+SKEW_PARTITIONS = 32  # simulated reducer count
+
+
+@register(
+    "profile_partition_skew",
+    "relational",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT ({_bucket_sql("CAST(user_id AS VARCHAR)")}) % {SKEW_PARTITIONS} AS pid,
+             user_id, count(*) AS key_rows
+      FROM events GROUP BY 1, 2
+    )
+    SELECT pid,
+           CAST(sum(key_rows) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(max(key_rows) AS BIGINT) AS max_key_rows
+    FROM keyed GROUP BY pid
+    """,
+)
+def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle partition-skew audit: simulate hash-partitioning the
+    events table by user_id into {SKEW_PARTITIONS} reducers (md5-derived
+    partition id — a deterministic, engine-neutral stand-in for
+    murmur3 ``pmod(hash(key), n)``, which DuckDB cannot mirror) and
+    report each reducer's row mass, key count, and heaviest single key.
+    This is the diagnostic that decides a shuffle's skew treatment
+    BEFORE it runs: max_key_rows >> n_rows/n_keys means one hot key
+    (salt it — ``agg_salted_skew``'s plan); one pid's n_rows >> the
+    others' with balanced keys means unlucky bucketing (AQE skew-join
+    split handles it).
+
+    Determinism: partition ids are md5-hex arithmetic; all outputs are
+    integer counts.
+
+    Plan: two map-side-combinable keyed aggregates — (pid, user_id)
+    partials then the per-pid rollup — so the audit itself never
+    concentrates a hot key on one reducer: the first agg's combiner
+    collapses each key's rows to one partial per map task.  At 100 TB
+    this runs as a cheap side-scan (or over a sample) feeding the
+    planner's salting decision."""
+    ev = table(prep(spark), sf_dir, "events")
+    keyed = (
+        ev.select(
+            (_hb(F.col("user_id").cast("string")) % SKEW_PARTITIONS).alias("pid"),
+            "user_id",
+        )
+        .groupBy("pid", "user_id")
+        .agg(F.count(F.lit(1)).alias("key_rows"))
+    )
+    return keyed.groupBy("pid").agg(
+        F.sum("key_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_rows").cast("long").alias("max_key_rows"),
     )

@@ -815,3 +815,38 @@ def test_incremental_merge_matches_direct(spark):
     group — the in-query proof column is asserted TRUE across the board."""
     rows = SPECS["agg_incremental_merge"].fn(spark, SF_DIR).collect()
     assert rows and all(r.matches_direct for r in rows)
+
+
+def test_priority_sample_matches_hand_computation(spark, tmp_path):
+    """Reimplement Duffield-Lund-Thorup priority sampling with hashlib on a
+    planted corpus (one heavy doc among 29 light ones): the engine must
+    reproduce the exact sample set, and the heavy doc must be in it."""
+    import hashlib
+
+    from kafka_spark_streaming_eval_spark.operators.curation2 import SAMPLE_K
+    from tests.test_properties import _mini_sf
+
+    docs = [(i, "x", "en", "srcP", 10) for i in range(1, 30)]
+    docs.append((1000, "x", "en", "srcP", 10**9))  # heavy: w = 1e9
+    d, _ = _mini_sf(tmp_path, spark, documents=docs)
+    row = SPECS["pipeline_priority_sample"].fn(spark, d).collect()[0]
+
+    def pri(doc_id, w):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return (u / max(w, 1), doc_id)
+
+    expected = sorted(((pri(i, w), i, w) for i, _, _, _, w in docs))[:SAMPLE_K]
+    assert row.n_sampled == SAMPLE_K
+    assert row.sampled_id_checksum == sum(i for _, i, _ in expected)
+    assert row.sampled_chars == sum(w for _, _, w in expected)
+    assert any(i == 1000 for _, i, _ in expected)  # the heavy doc made it
+
+
+def test_partition_skew_conserves_rows_and_keys(spark):
+    """Conservation: the simulated reducers partition rows and keys exactly
+    (every key lands on one pid), and max_key_rows is bounded by n_rows."""
+    rows = SPECS["profile_partition_skew"].fn(spark, SF_DIR).collect()
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    assert sum(r.n_rows for r in rows) == ev.count()
+    assert sum(r.n_keys for r in rows) == ev.select("user_id").distinct().count()
+    assert all(0 < r.max_key_rows <= r.n_rows for r in rows)
