@@ -90,6 +90,8 @@ HEADLINE = [
     "agg_incremental_merge",
     "pipeline_priority_sample",
     "profile_partition_skew",
+    "join_asof_attribution",
+    "quality_mad_outliers",
 ]
 
 THROUGHPUT_EVENTS = 1_000_000

@@ -2,7 +2,7 @@
 so the never-green driver rotation backlog keeps draining first — see the
 registration-order note in ``plans/registry._load_all``).
 
-Seven operators that round out the lakehouse/curation surface:
+Nine operators that round out the lakehouse/curation surface:
 
 - ``pipeline_snapshot_diff`` — snapshot-to-snapshot change-data-capture:
   the full-outer digest-compare diff (added / deleted / changed /
@@ -30,6 +30,12 @@ Seven operators that round out the lakehouse/curation surface:
 - ``profile_partition_skew`` — pre-shuffle partition-skew audit: the
   per-reducer row/key/heaviest-key ledger that decides salting vs AQE
   skew-split before a big shuffle runs.
+- ``join_asof_attribution`` — the scalable TWO-relation as-of join
+  (union + window, one shuffle, no UDF): last-touch attribution of each
+  click to the latest at-or-before view.
+- ``quality_mad_outliers`` — median-absolute-deviation robust outlier
+  detection: the quality-filter statistic whose threshold the outliers
+  themselves cannot drag.
 """
 
 from __future__ import annotations
@@ -633,4 +639,195 @@ def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("key_rows").cast("long").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("key_rows").cast("long").alias("max_key_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-relation as-of join (union + window, no UDF)
+# ---------------------------------------------------------------------------
+
+_EV_MS = "(SELECT * REPLACE (date_trunc('milliseconds', ts) AS ts) FROM events)"
+
+
+@register(
+    "join_asof_attribution",
+    "joins",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT user_id AS k, ts AS t, 0 AS side, event_id AS rid
+      FROM {_EV_MS} WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id AS k, ts AS t, 1 AS side, event_id AS rid
+      FROM {_EV_MS} WHERE event_type = 'click'
+    ),
+    attributed AS (
+      SELECT k, t, side, rid,
+             last_value(CASE WHEN side = 0 THEN rid END IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, rid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+             last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS) OVER (
+               PARTITION BY k ORDER BY t, side, rid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_t
+      FROM unioned
+    )
+    SELECT epoch_ms(date_trunc('day', t)) AS click_day_ms,
+           count(*) AS n_clicks,
+           count(view_id) AS n_attributed,
+           CAST(COALESCE(sum(epoch_ms(t) - epoch_ms(view_t)), 0) AS BIGINT)
+             AS gap_ms_total,
+           CAST(COALESCE(sum(view_id), 0) AS BIGINT) AS view_id_checksum
+    FROM attributed WHERE side = 1
+    GROUP BY 1
+    """,
+)
+def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-RELATION as-of join without a UDF: for every click, the same
+    user's most recent view at-or-before it (last-touch attribution).
+    The two relations are unioned with a side tag and a single
+    last_value(...IGNORE NULLS) window over (t, side, rid) — build rows
+    sort before probe rows at equal timestamps, so 'at-or-before' is
+    exact.  This is the scalable two-table as-of: ``pd.merge_asof`` via
+    cogrouped ``applyInPandas`` (``udf_cogroup_merge_asof``) moves both
+    relations through Python; the union-window form is one shuffle on
+    the key, pure JVM, and works at any build/probe size ratio.
+
+    Determinism: the window order (t, side, rid) is total (event ids are
+    unique); the frame is ROWS (not the default RANGE, which would leak
+    equal-timestamp FOLLOWING peers into last_value); gaps are exact
+    epoch-ms BIGINT arithmetic.
+
+    Plan: one exchange partitions the union by user; both window columns
+    share the single WindowExec sort; the probe-side filter and day
+    rollup are map-side after it.  At 100 TB this is shuffle mass
+    |build|+|probe| moved once — no per-key loop, no broadcast
+    assumption on either side."""
+    ev = table(prep(spark), sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("rid"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("rid"),
+    )
+    wspec = (
+        W.partitionBy("k")
+        .orderBy("t", "side", "rid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    attributed = (
+        views.unionAll(clicks)
+        .select(
+            "k",
+            "t",
+            "side",
+            F.last(
+                F.when(F.col("side") == 0, F.col("rid")), ignorenulls=True
+            )
+            .over(wspec)
+            .alias("view_id"),
+            F.last(
+                F.when(F.col("side") == 0, F.col("t")), ignorenulls=True
+            )
+            .over(wspec)
+            .alias("view_t"),
+        )
+        .where(F.col("side") == 1)
+    )
+    return attributed.groupBy(
+        F.unix_millis(F.date_trunc("day", "t")).alias("click_day_ms")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("view_id").alias("n_attributed"),
+        F.coalesce(
+            F.sum(F.unix_millis("t") - F.unix_millis("view_t")), F.lit(0)
+        )
+        .cast("long")
+        .alias("gap_ms_total"),
+        F.coalesce(F.sum("view_id"), F.lit(0))
+        .cast("long")
+        .alias("view_id_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier statistics
+# ---------------------------------------------------------------------------
+
+MAD_K = 3  # outlier threshold: |x - median| > MAD_K * MAD
+
+
+@register(
+    "quality_mad_outliers",
+    "relational",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n_rows,
+           max(d.med) AS med,
+           max(a.mad) AS mad,
+           count(*) FILTER (WHERE d.adev > {MAD_K} * a.mad) AS n_outliers,
+           CAST(sum(CAST(d.value AS DECIMAL(38,6)))
+                FILTER (WHERE d.adev > {MAD_K} * a.mad) AS DOUBLE)
+             AS outlier_value_sum
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    GROUP BY d.event_type
+    """,
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION: per group,
+    med = exact median, MAD = exact median of |x - med|, outliers are
+    rows with |x - med| > {MAD_K}*MAD — the quality-filter statistic that
+    (unlike mean/stddev z-scores, cf. ``timeseries_anomaly_zscore``)
+    does not let the outliers themselves drag the threshold.  Both
+    engines interpolate the even-count median as the midpoint of the two
+    middle values — one IEEE add + halving, bit-identical — and
+    |x - med| / the {MAD_K}*MAD compare are single correctly-rounded IEEE
+    ops, so the outlier SET (not just counts) is engine-exact; its
+    decimal-summed value mass proves it.
+
+    Plan: two grouped exact-median passes (Spark's ``median`` is
+    single-pass per group) with the tiny per-group med/MAD tables
+    broadcast back — no per-row sort, no window over the full table.  At
+    100 TB exact per-group medians are one shuffle each on the group
+    key; if groups were huge-cardinality skewed, the approx-quantile
+    sketch (``agg_approx_quantile_contract``) is the documented
+    fallback."""
+    ev = table(prep(spark), sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    out = F.col("adev") > MAD_K * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count_if(out).alias("n_outliers"),
+            F.sum(F.when(out, F.col("value").cast("decimal(38,6)")))
+            .cast("double")
+            .alias("outlier_value_sum"),
+        )
     )

@@ -850,3 +850,52 @@ def test_partition_skew_conserves_rows_and_keys(spark):
     assert sum(r.n_rows for r in rows) == ev.count()
     assert sum(r.n_keys for r in rows) == ev.select("user_id").distinct().count()
     assert all(0 < r.max_key_rows <= r.n_rows for r in rows)
+
+
+def test_asof_attribution_at_or_before_semantics(spark, tmp_path):
+    """Planted streams: a click at the SAME millisecond as a view must
+    attribute to it (at-or-before, side tiebreak), later clicks attribute
+    to the latest preceding view, and a user with no prior view stays
+    unattributed."""
+    import datetime as dt
+
+    from tests.test_properties import _mini_sf
+
+    t0 = dt.datetime(2024, 1, 5)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    events = [
+        (1, at(0), 1, "view", 1.0, "{}"),    # view A
+        (2, at(10), 1, "click", 1.0, "{}"),  # -> A, gap 10s
+        (3, at(20), 1, "view", 1.0, "{}"),   # view B
+        (4, at(20), 1, "click", 1.0, "{}"),  # same ts -> B, gap 0
+        (5, at(5), 2, "click", 1.0, "{}"),   # user 2: no view ever
+    ]
+    d, _ = _mini_sf(tmp_path, spark, events=events)
+    row = SPECS["join_asof_attribution"].fn(spark, d).collect()[0]
+    assert row.n_clicks == 3
+    assert row.n_attributed == 2
+    assert row.gap_ms_total == 10_000
+    assert row.view_id_checksum == 1 + 3
+
+
+def test_mad_outliers_resist_the_outlier_itself(spark, tmp_path):
+    """The MAD property: one huge value among identical ones leaves the
+    median AND the MAD untouched (both 10 and 0), so the huge value is
+    flagged; a clean constant group flags nothing."""
+    import datetime as dt
+
+    from tests.test_properties import _mini_sf
+
+    t0 = dt.datetime(2024, 1, 5)
+    events = [(i, t0, 1, "skewed", 10.0, "{}") for i in range(9)]
+    events.append((9, t0, 1, "skewed", 1000.0, "{}"))
+    events += [(100 + i, t0, 2, "clean", 7.0, "{}") for i in range(5)]
+    d, _ = _mini_sf(tmp_path, spark, events=events)
+    out = {r.event_type: r for r in SPECS["quality_mad_outliers"].fn(spark, d).collect()}
+    assert out["skewed"].med == 10.0 and out["skewed"].mad == 0.0
+    assert out["skewed"].n_outliers == 1
+    assert out["skewed"].outlier_value_sum == 1000.0
+    assert out["clean"].n_outliers == 0 and out["clean"].outlier_value_sum is None
