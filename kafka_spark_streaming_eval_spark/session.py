@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -86,6 +87,9 @@ def scratch_dir(tag: str, *keys: str) -> str:
 
 
 _FRESH_SCRATCH = itertools.count()
+_FRESH_HISTORY: dict[str, list[str]] = {}
+_FRESH_RETAIN = 4
+_FRESH_LOCK = threading.Lock()
 
 
 def fresh_scratch_dir(tag: str, *keys: str) -> str:
@@ -100,8 +104,26 @@ def fresh_scratch_dir(tag: str, *keys: str) -> str:
     and a correctness bug even sequentially whenever two plans over the same
     staging dir are alive at once.  Fresh paths are still PID-prefixed, so
     ``_sweep_dead_scratch`` reclaims them once the process exits.
+
+    In-process retention is BOUNDED: only the newest ``_FRESH_RETAIN``
+    paths per (tag, keys) survive — minting one more deletes the oldest,
+    so a long-lived process re-running queries (REPL loop, repeated bench)
+    does not grow /tmp without bound.  The liveness contract — a returned
+    dir stays valid until ``_FRESH_RETAIN`` further same-(tag, keys) calls
+    — covers the driver's collect-before-next-query sequencing, bench's
+    call-twice timing, and the concurrent-pair hardening tests with slack.
     """
-    return scratch_dir(tag, *keys, f"call{next(_FRESH_SCRATCH)}")
+    path = scratch_dir(tag, *keys, f"call{next(_FRESH_SCRATCH)}")
+    with _FRESH_LOCK:
+        hist = _FRESH_HISTORY.setdefault(f"{tag}|{'|'.join(keys)}", [])
+        hist.append(path)
+        stale = hist[:-_FRESH_RETAIN]
+        del hist[:-_FRESH_RETAIN]
+    for d in stale:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    return path
 
 
 def prep(spark: SparkSession) -> SparkSession:

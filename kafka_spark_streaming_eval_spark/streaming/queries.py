@@ -38,21 +38,27 @@ _name_counter = itertools.count()
 # Staging dirs are content-keyed CACHES reused across calls (never deleted
 # while the process lives), so the only race is two in-process threads
 # building the same dir at once — e.g. a driver running stream queries in
-# parallel on one session.  One lock + a _READY sentinel serializes the
-# one-time build; every later call returns without touching the lock.
-_STAGE_LOCK = threading.Lock()
+# parallel on one session.  A per-dir lock + a _READY sentinel serializes
+# the one-time build of THAT dir only: two threads staging different dirs
+# (different queries, different slicings) proceed concurrently instead of
+# queueing behind each other's heavy parquet I/O.  Every later call
+# returns on the sentinel check without touching any lock.
+_STAGE_LOCKS: dict[str, threading.Lock] = {}
+_STAGE_LOCKS_GUARD = threading.Lock()
 
 
 def _ensure_staged(d: str, build) -> str:
     """Thread-safe idempotent staging: the first caller runs ``build(d)``
-    and drops a ``_READY`` sentinel; concurrent callers block until it
-    lands; subsequent calls are a single existence check."""
+    and drops a ``_READY`` sentinel; concurrent callers of the SAME dir
+    block until it lands; subsequent calls are a single existence check."""
     import os
 
     ready = os.path.join(d, "_READY")
     if os.path.exists(ready):
         return d
-    with _STAGE_LOCK:
+    with _STAGE_LOCKS_GUARD:
+        lock = _STAGE_LOCKS.setdefault(d, threading.Lock())
+    with lock:
         if not os.path.exists(ready):
             os.makedirs(d, exist_ok=True)
             build(d)

@@ -21,8 +21,7 @@ exactly the DuckDB oracle.  Emitted counts are monotone per key, so
 
 from __future__ import annotations
 
-import hashlib
-import shutil
+import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,7 +29,9 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 
 from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.session import fresh_scratch_dir, prep
+
+_sink_counter = itertools.count()
 
 
 def running_count_stream(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -75,12 +76,15 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     monotone update emissions) must equal the batch ``count(*)`` — proving
     exactly-once state accumulation across batch boundaries."""
     spark = prep(spark)
-    base = "/tmp/stateful_src_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    shutil.rmtree(base, ignore_errors=True)
+    # fresh_scratch_dir + a call-unique sink name: the staged source must
+    # never be rmtree'd/overwritten under a live lazily-scanned plan, and a
+    # second concurrent call must not collide on the memory-sink queryName
+    # (the same hardening applied to every stream_*/src_* staging site).
+    base = fresh_scratch_dir("stateful_src", sf_dir)
     ev = table(spark, sf_dir, "events").select("user_id", "event_id")
     ev.repartition(4).write.mode("overwrite").parquet(base)
 
-    name = "stateful_out_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"stateful_out_{next(_sink_counter)}"
     q = (
         running_count_stream(spark, base)
         .writeStream.format("memory")

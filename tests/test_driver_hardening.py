@@ -25,11 +25,6 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 SPECS = all_queries()
 
 
-def _check(name, spark, ducks):
-    df = SPECS[name].fn(spark, SF_DIR)
-    assert_matches_oracle(df, ducks, SPECS[name].oracle, name)
-
-
 @pytest.mark.parametrize(
     "pair",
     [
@@ -92,3 +87,43 @@ def test_lazy_plan_survives_requery_etl(spark, ducks):
         df2 = SPECS[name].fn(spark, SF_DIR)
         assert_matches_oracle(df1, ducks, SPECS[name].oracle, name + "[first]")
         assert_matches_oracle(df2, ducks, SPECS[name].oracle, name + "[second]")
+
+
+def test_concurrent_stateful_running_count(spark, ducks):
+    """The applyInPandasWithState query twice in parallel on one session:
+    under the pre-r5 staging (shared /tmp path rmtree'd per call + a
+    non-unique memory-sink queryName) the second call either yanked the
+    first's staged parquet mid-stream or failed on the duplicate sink
+    name; with fresh_scratch_dir + counter-suffixed sinks both calls must
+    hash-match the oracle."""
+    name = "stream_stateful_running_count"
+    with cf.ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(SPECS[name].fn, spark, SF_DIR)
+        f2 = pool.submit(SPECS[name].fn, spark, SF_DIR)
+        df1, df2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert_matches_oracle(df1, ducks, SPECS[name].oracle, name + "[a]")
+    assert_matches_oracle(df2, ducks, SPECS[name].oracle, name + "[b]")
+
+
+def test_fresh_scratch_dir_bounded_retention(tmp_path):
+    """Minting more than _FRESH_RETAIN paths for one (tag, keys) deletes
+    the oldest, so long-lived processes don't grow /tmp without bound —
+    while the newest _FRESH_RETAIN stay untouched (the liveness contract
+    for not-yet-collected lazy plans)."""
+    import os
+
+    from kafka_spark_streaming_eval_spark import session as S
+
+    paths = []
+    for _ in range(S._FRESH_RETAIN + 2):
+        p = S.fresh_scratch_dir("retention_test", str(tmp_path))
+        os.makedirs(p, exist_ok=True)
+        paths.append(p)
+    gone, kept = paths[:2], paths[2:]
+    assert all(not os.path.exists(p) for p in gone)
+    assert all(os.path.exists(p) for p in kept)
+    # cleanup what the retention window kept
+    import shutil
+
+    for p in kept:
+        shutil.rmtree(p, ignore_errors=True)
