@@ -781,3 +781,142 @@ def test_rolling_corr_grid_envelope_at_100tb(spark):
         f"daily-sum {float(worst):.3e} at sf{sf} projects to {projected:.3e} "
         f"at 100 TB — outside the rolling-corr DECIMAL(18,0) grid envelope"
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_cdc_chunks_match_python_spec(sp, tmp_path_factory, docs):
+    """The full CDC ledger (chunk counts, token conservation, shared mass)
+    equals a pure-Python hashlib rederivation for ANY corpus — boundaries,
+    chunk ids, and the >=2-distinct-docs sharing rule alike."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.operators.curation import CDC_MOD
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("cdc")
+    rows = [(i, " ".join(toks), "s" + str(i % 2)) for i, toks in enumerate(docs)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array([r[2] for r in rows]),
+                "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    def chunks_of(text):
+        t = text.split(" ")
+        n = len(t)
+        bpos = [
+            i
+            for i in range(1, n + 1)
+            if i == n
+            or int(hashlib.md5(t[i - 1].encode()).hexdigest()[:2], 16) % CDC_MOD == 0
+        ]
+        out, start = [], 1
+        for b in bpos:
+            seg = t[start - 1 : b]
+            out.append(
+                (hashlib.md5(" ".join(seg).encode()).hexdigest(), len(seg))
+            )
+            start = b + 1
+        return out
+
+    per_chunk_docs: dict = {}
+    per_source: dict = {}
+    for doc_id, text, source in rows:
+        for cid, ntok in chunks_of(text):
+            per_chunk_docs.setdefault(cid, set()).add(doc_id)
+    for doc_id, text, source in rows:
+        ledger = per_source.setdefault(
+            source, {"n_chunks": 0, "n_tokens": 0, "n_shared": 0, "shared_mass": 0}
+        )
+        for cid, ntok in chunks_of(text):
+            ledger["n_chunks"] += 1
+            ledger["n_tokens"] += ntok
+            if len(per_chunk_docs[cid]) >= 2:
+                ledger["n_shared"] += 1
+                ledger["shared_mass"] += ntok
+
+    out = all_queries()["dedup_cdc_chunks"].fn(sp, str(d)).collect()
+    got = {
+        r.source: (r.n_chunks, r.n_tokens, r.n_shared_chunks, r.shared_token_mass)
+        for r in out
+    }
+    want = {
+        s: (v["n_chunks"], v["n_tokens"], v["n_shared"], v["shared_mass"])
+        for s, v in per_source.items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    weights=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=8),
+)
+def test_priority_sample_matches_python_spec(sp, tmp_path_factory, docs, weights):
+    """The sampled set (ids, char mass) equals the pure-Python DLT
+    rederivation for any corpus and any weight vector, including zero
+    weights (clamped to 1)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.operators.curation2 import SAMPLE_K
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("psamp")
+    rows = [
+        (i, " ".join(toks), weights[i % len(weights)])
+        for i, toks in enumerate(docs)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["s"] * len(rows)),
+                "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    def pri(doc_id, w):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return (u / max(w, 1), doc_id)
+
+    expected = sorted(((pri(i, w), i, w) for i, _, w in rows))[:SAMPLE_K]
+    row = all_queries()["pipeline_priority_sample"].fn(sp, str(d)).collect()[0]
+    assert row.n_sampled == min(SAMPLE_K, len(rows))
+    assert row.sampled_id_checksum == sum(i for _, i, _ in expected)
+    assert row.sampled_chars == sum(w for _, _, w in expected)
