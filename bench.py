@@ -83,7 +83,6 @@ HEADLINE = [
     "sim_semantic_dedup",
     "dedup_cdc_chunks",
     "join_bloom_prefilter",
-    "pipeline_snapshot_diff",
     "text_quality_classifier",
     "pipeline_domain_cap",
     "window_ewma_exact",

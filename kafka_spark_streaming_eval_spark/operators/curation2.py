@@ -2,12 +2,8 @@
 so the never-green driver rotation backlog keeps draining first — see the
 registration-order note in ``plans/registry._load_all``).
 
-Nine operators that round out the lakehouse/curation surface:
+Eight operators that round out the lakehouse/curation surface:
 
-- ``pipeline_snapshot_diff`` — snapshot-to-snapshot change-data-capture:
-  the full-outer digest-compare diff (added / deleted / changed /
-  unchanged) that incremental ingestion, SCD maintenance, and audit
-  tooling run between two table versions.
 - ``text_quality_classifier`` — fastText-style hashed-feature linear
   quality scorer (the CCNet / GPT-3 quality-filter shape) evaluated
   entirely map-side with deterministic md5-derived weights.
@@ -58,119 +54,6 @@ def _hb(col):
     twin of ``curation._bucket_sql`` (F.conv hex->dec == the instr-grid
     arithmetic, proven equivalent in ``dedup_cdc_chunks``)."""
     return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
-
-
-# ---------------------------------------------------------------------------
-# Snapshot diff (change-data-capture between table versions)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "pipeline_snapshot_diff",
-    "pipeline",
-    oracle="""
-    WITH base AS (
-      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h1,
-             substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) AS h2,
-             substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1) AS h3
-      FROM orders
-    ),
-    v1 AS (
-      SELECT o_orderkey AS k,
-             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
-                           o_orderpriority)) AS d
-      FROM base WHERE h1 <> 'f'
-    ),
-    v2 AS (
-      SELECT o_orderkey AS k,
-             md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
-                           CASE WHEN h3 = '0' THEN '9-CHANGED'
-                                ELSE o_orderpriority END)) AS d
-      FROM base WHERE h2 <> 'f'
-    )
-    SELECT CASE WHEN v1.k IS NULL THEN 'added'
-                WHEN v2.k IS NULL THEN 'deleted'
-                WHEN v1.d <> v2.d THEN 'changed'
-                ELSE 'unchanged' END AS change_type,
-           count(*) AS n_rows,
-           CAST(sum(COALESCE(v1.k, v2.k)) AS BIGINT) AS key_checksum
-    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
-    GROUP BY 1
-    """,
-)
-def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-capture between two table snapshots: rows present only
-    in the new version are ``added``, rows that vanished are ``deleted``,
-    rows whose CONTENT DIGEST differs are ``changed``, the rest
-    ``unchanged`` — the diff every incremental-ingest / SCD / audit
-    pipeline computes between yesterday's and today's extract.  The two
-    snapshots are derived deterministically from ``orders`` (md5 hex
-    digits of the key decide membership; a third digit marks rows whose
-    priority was rewritten between versions), so both engines see
-    identical versions without extra fixture files.
-
-    Determinism: membership and the changed-row rewrite are pure md5-hex
-    functions of the key; content comparison is md5 over a '|'-joined
-    canonical column tuple; checksums are BIGINT sums.
-
-    Plan: each snapshot projects to (key BIGINT, 16-byte digest) BEFORE
-    the join, so the full-outer shuffle moves 24 bytes/row, not rows —
-    the digest-compare trick that makes snapshot diffs tractable at
-    100 TB.  The full-outer sort-merge join on the key is the one
-    unavoidable exchange; with both snapshot tables bucketed by key
-    (``src_bucketed_colocated_join``'s layout) it becomes zero-exchange."""
-    o = table(prep(spark), sf_dir, "orders")
-    h = F.md5(F.col("o_orderkey").cast("string"))
-    base = o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        F.substring(h, 1, 1).alias("h1"),
-        F.substring(h, 2, 1).alias("h2"),
-        F.substring(h, 3, 1).alias("h3"),
-    )
-    v1 = base.where(F.col("h1") != "f").select(
-        F.col("o_orderkey").alias("k1"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("o_custkey").cast("string"),
-                F.col("o_orderstatus"),
-                F.col("o_orderpriority"),
-            )
-        ).alias("d1"),
-    )
-    v2 = base.where(F.col("h2") != "f").select(
-        F.col("o_orderkey").alias("k2"),
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("o_custkey").cast("string"),
-                F.col("o_orderstatus"),
-                F.when(F.col("h3") == "0", F.lit("9-CHANGED")).otherwise(
-                    F.col("o_orderpriority")
-                ),
-            )
-        ).alias("d2"),
-    )
-    return (
-        v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
-        .select(
-            F.when(F.col("k1").isNull(), F.lit("added"))
-            .when(F.col("k2").isNull(), F.lit("deleted"))
-            .when(F.col("d1") != F.col("d2"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-            .alias("change_type"),
-            F.coalesce("k1", "k2").alias("k"),
-        )
-        .groupBy("change_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("k").cast("long").alias("key_checksum"),
-        )
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +165,10 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form first caps per (domain, md5-shard) then re-caps the
     ~shards*cap survivors per domain, the two-level running-sum pattern
     ``pipeline_mix_quota`` already exhibits; the one-level form here
-    keeps the oracle exact while the docstring pins the scale plan."""
+    keeps the oracle exact while the docstring pins the scale plan.
+    (``sample_k_per_group`` shares the ranked-window-limit shape but
+    SAMPLES k per source; this op ENFORCES a cap per synthesized domain
+    and accounts for the dropped mass — the curation-policy ledger.)"""
     d = table(prep(spark), sf_dir, "documents")
     dom = (_hb(F.col("doc_id").cast("string")) % DOMAIN_COUNT).alias("dom")
     ranked = d.select("source", "doc_id", dom).withColumn(
@@ -689,7 +575,10 @@ def join_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact.  This is the scalable two-table as-of: ``pd.merge_asof`` via
     cogrouped ``applyInPandas`` (``udf_cogroup_merge_asof``) moves both
     relations through Python; the union-window form is one shuffle on
-    the key, pure JVM, and works at any build/probe size ratio.
+    the key, pure JVM, and works at any build/probe size ratio.  (The
+    same-STREAM special case — prev-error lookup within one table — is
+    ``join_asof_prev_error``'s conditional window; the union form here is
+    what generalizes it to two independently-projected relations.)
 
     Determinism: the window order (t, side, rid) is total (event ids are
     unique); the frame is ROWS (not the default RANGE, which would leak

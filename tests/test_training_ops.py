@@ -740,25 +740,6 @@ def test_bloom_prefilter_never_false_negative(spark, ducks):
     assert sum(r.n_bloom_pass for r in rows) < sum(r.n_orders for r in rows)
 
 
-def test_snapshot_diff_partitions_every_surviving_key(spark):
-    """The four change categories partition the union of both snapshots
-    exactly, and 'changed' is precisely the doubly-surviving keys whose
-    third md5 hex digit marks the rewrite."""
-    rows = {
-        r.change_type: r
-        for r in SPECS["pipeline_snapshot_diff"].fn(spark, SF_DIR).collect()
-    }
-    assert set(rows) == {"added", "deleted", "changed", "unchanged"}
-    o = spark.read.parquet(SF_DIR + "/orders.parquet")
-    h = F.md5(F.col("o_orderkey").cast("string"))
-    in1, in2 = F.substring(h, 1, 1) != "f", F.substring(h, 2, 1) != "f"
-    assert sum(r.n_rows for r in rows.values()) == o.where(in1 | in2).count()
-    assert (
-        rows["changed"].n_rows
-        == o.where(in1 & in2 & (F.substring(h, 3, 1) == "0")).count()
-    )
-
-
 def test_quality_classifier_score_matches_hand_hash(spark, tmp_path):
     """Reimplement the hashed-linear scorer with hashlib on a 3-token doc:
     the engine's md5-bucket/weight arithmetic must reproduce it exactly."""
