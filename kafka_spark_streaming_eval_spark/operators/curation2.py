@@ -425,7 +425,10 @@ def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source are the sample.  This is the estimator data-mixing pipelines
     use to draw token-weighted corpus samples reproducibly — unlike
     ``sample(fraction, seed)`` the result is independent of partitioning
-    and engine.
+    and engine.  (``pipeline_mix_quota_sample`` fills TOKEN-MASS quotas
+    greedily in unweighted md5-priority order; this op draws a FIXED-k
+    sample with inclusion probability scaled by each document's weight —
+    the two samplers a mixing pipeline composes.)
 
     Determinism: u is exact integer md5 arithmetic; priority is ONE IEEE
     double division (correctly rounded, bit-identical cross-engine — the
