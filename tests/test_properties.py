@@ -920,3 +920,119 @@ def test_priority_sample_matches_python_spec(sp, tmp_path_factory, docs, weights
     assert row.n_sampled == min(SAMPLE_K, len(rows))
     assert row.sampled_id_checksum == sum(i for _, i, _ in expected)
     assert row.sampled_chars == sum(w for _, _, w in expected)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9999),  # cents: exact in DECIMAL(18,2)
+        min_size=8,
+        max_size=20,
+    ),
+)
+def test_ewma_matches_python_fraction_spec(sp, tmp_path_factory, vals):
+    """Every complete window's scaled EWMA equals the exact-fraction
+    Python rederivation (integer weights over cents) for any value
+    series — no float pow, no accumulation drift."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.operators.curation2 import EWMA_WEIGHTS
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("ewma")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 7, "view", c / 100.0, "{}")
+        for i, c in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    # python spec in exact cents: scaled_ewma_cents = sum(w_i * cents[t-i])
+    n = len(EWMA_WEIGHTS)
+    cents = vals
+    expected = [
+        sum(w * cents[t - i] for i, w in enumerate(EWMA_WEIGHTS))
+        for t in range(n - 1, len(cents))
+    ]
+    row = all_queries()["window_ewma_exact"].fn(sp, str(d)).collect()[0]
+    assert row.n_windows == len(expected)
+    assert row.ewma_scaled_sum == sum(expected) / 100.0
+    assert row.ewma_scaled_min == min(expected) / 100.0
+    assert row.ewma_scaled_max == max(expected) / 100.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=9999),  # cents
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_mad_outliers_match_python_spec(sp, tmp_path_factory, vals):
+    """med, MAD, the outlier COUNT, and the outlier value mass all equal a
+    pure-Python IEEE rederivation (same doubles, same midpoint medians,
+    cents-exact mass) for any value distribution."""
+    import datetime as dt
+    import statistics
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_spark_streaming_eval_spark.operators.curation2 import MAD_K
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    d = tmp_path_factory.mktemp("mad")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 7, "view", c / 100.0, "{}")
+        for i, c in enumerate(vals)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], type=pa.float64()),
+                "props": pa.array([r[5] for r in rows]),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    xs = [c / 100.0 for c in vals]  # the same IEEE doubles the engines read
+    med = statistics.median(xs)  # midpoint interpolation == quantile_cont(0.5)
+    adev = [abs(x - med) for x in xs]
+    mad = statistics.median(adev)
+    out_idx = [i for i, a in enumerate(adev) if a > MAD_K * mad]
+    row = all_queries()["quality_mad_outliers"].fn(sp, str(d)).collect()[0]
+    assert row.n_rows == len(xs)
+    assert row.med == med and row.mad == mad
+    assert row.n_outliers == len(out_idx)
+    if out_idx:
+        assert row.outlier_value_sum == sum(vals[i] for i in out_idx) / 100.0
+    else:
+        assert row.outlier_value_sum is None
