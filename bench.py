@@ -220,16 +220,35 @@ def main() -> None:
 
     eps = throughput_eps(spark)
 
-    # Quiesce before the latency-sensitive streaming measurement: BASELINE
-    # exp1 measured the reference's stream standalone, while here 34 batch
-    # queries + two 1M-event throughput passes precede it in the same JVM —
-    # without a cleanup that neighbor churn inflated p95 by ~33% in round 2.
-    # (Batch queries deliberately stay FIRST: running the stream before them
-    # measurably slows every batch query instead.)
-    spark.catalog.clearCache()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(2.0)
-    stream_eps, stream_p95, recovery_s = streaming_live(spark)
+    # The latency-sensitive streaming measurement runs in a FRESH
+    # subprocess (own JVM) — matching BASELINE exp1's methodology, which
+    # measured the reference's stream standalone.  In-process it follows
+    # 57 batch queries + two 1M-event throughput passes whose heap/code-
+    # cache churn inflates p95 by ~30% even after a clearCache+GC settle
+    # (round-5 isolation check: 1.45 s standalone vs 1.9 s in-process on
+    # the same machine).  Falls back to the settled in-process path if the
+    # subprocess fails for any environmental reason.
+    stream_eps = stream_p95 = recovery_s = None
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stream-only"],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            env=dict(os.environ),
+        )
+        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        stream_eps = payload["stream_sustained_eps"]
+        stream_p95 = payload["stream_p95_latency_ms"]
+        recovery_s = payload["recovery_s"]
+    except Exception:
+        # settled in-process fallback (pre-r5 methodology)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2.0)
+        stream_eps, stream_p95, recovery_s = streaming_live(spark)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -254,5 +273,22 @@ def main() -> None:
     spark.stop()
 
 
+def stream_only() -> None:
+    """Standalone streaming measurement (fresh JVM): prints one JSON line
+    with the three exp1/exp3 numbers for the parent bench to absorb."""
+    spark = get_spark("bench-stream")
+    sustained, p95, recovery = streaming_live(spark)
+    print(
+        json.dumps(
+            {
+                "stream_sustained_eps": round(sustained, 1),
+                "stream_p95_latency_ms": round(p95, 1),
+                "recovery_s": round(recovery, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(stream_only() if "--stream-only" in sys.argv[1:] else main())
