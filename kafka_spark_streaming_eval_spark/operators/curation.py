@@ -92,7 +92,7 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     """Ingest-time benchmark decontamination, executed BY THE STREAMING
     ENGINE: documents arrive in 4 micro-batches (file source,
     ``maxFilesPerTrigger=1``) and each batch's per-doc DISTINCT 3-shingles
-    join a static benchmark shingle set (source `{BENCH_SOURCE}`) as they
+    join a static benchmark shingle set (source `src1`) as they
     land — the streaming form of ``text_contamination_matrix``, catching
     benchmark bleed before a document ever reaches the training mix.
 
@@ -231,7 +231,7 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
 def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights for data selection: every document is
     scored by how much more often its hashed bigram features occur in the
-    target-domain slice (source `{DSIR_TARGET_SOURCE}`) than in the raw
+    target-domain slice (source `src0`) than in the raw
     corpus — the importance-resampling statistic that upsamples
     target-like documents when composing a training mix.
 
@@ -405,7 +405,7 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication accounting: within each
     embedding cluster (the label column — at 100 TB the assignment of a
     coarse k-means quantizer, as in ``sim_ivf_topk``), member pairs with
-    cosine > {SEMDEDUP_TAU} are semantic duplicates; the pair member
+    cosine > 0.40 (SEMDEDUP_TAU) are semantic duplicates; the pair member
     CLOSER to the cluster centroid is dropped (SemDeDup keeps the most
     peripheral exemplar — it carries the most marginal information).
     Output is the per-cluster keep/drop ledger the curation pipeline acts
@@ -584,7 +584,7 @@ CDC_MOD = 8  # expected chunk length in tokens (boundary prob 1/8)
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (FastCDC at token granularity): a chunk
     boundary falls after any token whose md5-derived byte is 0 mod
-    {CDC_MOD} (plus a forced boundary at doc end), so identical passages
+    8 (CDC_MOD; plus a forced boundary at doc end), so identical passages
     produce identical chunks REGARDLESS of their offset in the document —
     the property fixed-stride chunking lacks and the reason CDC is how
     storage systems and sub-document dedup find shared content between
@@ -601,7 +601,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the materialized token array (map-side, zero shuffles until the
     chunk-id aggregation); the shared-chunk detection is one groupBy on
     the 16-byte chunk id.  At 100 TB the explode produces
-    ~corpus_tokens/{CDC_MOD} rows carrying md5s, not text — the same
+    ~corpus_tokens/8 rows carrying md5s, not text — the same
     shuffle-mass argument as the shingle pipeline."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
@@ -740,7 +740,7 @@ def _bloom_pos_sql(key_expr: str, offset: int) -> str:
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join reduction — THE 100 TB join-reduction
     pattern: instead of shuffling the fact table against a filtered
-    dimension, a {BLOOM_BITS}-bit Bloom filter (512 BIGINT words, built
+    dimension, a 16384-bit Bloom filter (512 BIGINT words, built
     with one tiny aggregation over the dim keys, 2 hash functions from
     disjoint md5 hex slices) is broadcast and applied MAP-SIDE to every
     fact row; only passing rows ever reach the real join.  The query

@@ -147,11 +147,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style per-domain cap: no domain may contribute more than
-    {DOMAIN_CAP} documents to the training mix, enforced by a
+    12 documents (DOMAIN_CAP) to the training mix, enforced by a
     deterministic ranked window per domain (rank key = md5(doc_id||
     ':rank'), i.e. a reproducible uniform shuffle WITHIN each domain, so
     the kept subset is stable across runs and engines).  Domains are
-    synthesized from doc_id md5 bytes ({DOMAIN_COUNT} of them) since the
+    synthesized from doc_id md5 bytes (32 of them) since the
     testdata carries no URL column; the plan is identical with a real
     ``parse_url(..., 'HOST')`` key (``scalar_url_battery`` exercises
     that extraction).
@@ -421,7 +421,7 @@ def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Duffield-Lund-Thorup): each document draws a deterministic uniform
     u (32-bit md5 slice of its id) and is ranked by priority = u / w with
     w = n_chars, so heavier documents sort earlier with probability
-    proportional to their weight; the {SAMPLE_K} smallest priorities per
+    proportional to their weight; the SAMPLE_K=20 smallest priorities per
     source are the sample.  This is the estimator data-mixing pipelines
     use to draw token-weighted corpus samples reproducibly — unlike
     ``sample(fraction, seed)`` the result is independent of partitioning
@@ -496,7 +496,7 @@ SKEW_PARTITIONS = 32  # simulated reducer count
 )
 def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle partition-skew audit: simulate hash-partitioning the
-    events table by user_id into {SKEW_PARTITIONS} reducers (md5-derived
+    events table by user_id into 32 reducers (md5-derived
     partition id — a deterministic, engine-neutral stand-in for
     murmur3 ``pmod(hash(key), n)``, which DuckDB cannot mirror) and
     report each reducer's row mass, key count, and heaviest single key.
@@ -684,12 +684,12 @@ MAD_K = 3  # outlier threshold: |x - median| > MAD_K * MAD
 def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION: per group,
     med = exact median, MAD = exact median of |x - med|, outliers are
-    rows with |x - med| > {MAD_K}*MAD — the quality-filter statistic that
+    rows with |x - med| > 3*MAD (MAD_K) — the quality-filter statistic that
     (unlike mean/stddev z-scores, cf. ``timeseries_anomaly_zscore``)
     does not let the outliers themselves drag the threshold.  Both
     engines interpolate the even-count median as the midpoint of the two
     middle values — one IEEE add + halving, bit-identical — and
-    |x - med| / the {MAD_K}*MAD compare are single correctly-rounded IEEE
+    |x - med| / the 3*MAD compare are single correctly-rounded IEEE
     ops, so the outlier SET (not just counts) is engine-exact; its
     decimal-summed value mass proves it.
 
