@@ -148,10 +148,10 @@ def _load_all() -> None:
     # index must sort AFTER every pre-existing never-green query so they
     # never displace the driver-rotation backlog that is still draining
     # (VERDICT r3 item 1).  Round 5: the 27-query backlog occupies rotation
-    # positions 0-26 and the driver budget is 50, so the 13 round-5 additions
-    # (5 in curation.py + 8 in curation2.py, positions 27-39) drain in the
-    # SAME round without displacing anything — 40 never-green total, 10 budget
-    # slots spare (asserted in
+    # positions 0-26 and the driver budget is 50, so the 14 round-5 additions
+    # (5 in curation.py + 8 in curation2.py + src_xml_roundtrip_scan in
+    # sources/readers.py) drain in the SAME round without displacing anything
+    # — 41 never-green total, 9 budget slots spare (asserted in
     # tests/test_plans.py::test_rotation_order_never_green_first).
     from kafka_spark_streaming_eval_spark.operators import corpus  # noqa: F401
     from kafka_spark_streaming_eval_spark.operators import curation  # noqa: F401
