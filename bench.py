@@ -228,7 +228,12 @@ def main() -> None:
     # (round-5 isolation check: 1.45 s standalone vs 1.9 s in-process on
     # the same machine).  Falls back to the settled in-process path if the
     # subprocess fails for any environmental reason.
+    # stream_isolation records WHICH methodology produced the streaming
+    # numbers — "subprocess" (clean, matches BASELINE's standalone run) or
+    # "in-process" (the ~30%-worse fallback) — so a silently failed
+    # subprocess can never masquerade as the documented methodology.
     stream_eps = stream_p95 = recovery_s = None
+    stream_isolation = "subprocess"
     try:
         import subprocess
 
@@ -243,8 +248,14 @@ def main() -> None:
         stream_eps = payload["stream_sustained_eps"]
         stream_p95 = payload["stream_p95_latency_ms"]
         recovery_s = payload["recovery_s"]
-    except Exception:
+    except Exception as exc:
         # settled in-process fallback (pre-r5 methodology)
+        print(
+            f"bench: --stream-only subprocess failed ({exc!r}); "
+            "falling back to in-process streaming measurement",
+            file=sys.stderr,
+        )
+        stream_isolation = "in-process"
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2.0)
@@ -261,6 +272,7 @@ def main() -> None:
                 "throughput_eps": round(eps, 1),
                 "throughput_events": THROUGHPUT_EVENTS,
                 "stream_input_eps": 50000,
+                "stream_isolation": stream_isolation,
                 "stream_sustained_eps": round(stream_eps, 1),
                 "stream_p95_latency_ms": round(stream_p95, 1),
                 "recovery_s": round(recovery_s, 2),

@@ -121,7 +121,19 @@ def fresh_scratch_dir(tag: str, *keys: str) -> str:
         del hist[:-_FRESH_RETAIN]
     for d in stale:
         import shutil
+        import warnings
 
+        # The retention contract is documented but otherwise unenforceable:
+        # a caller still holding a DataFrame over a reclaimed dir would only
+        # see a confusing lazy-scan failure later.  Surface the reclaim at
+        # reclaim time so that failure mode is diagnosable.
+        warnings.warn(
+            f"fresh_scratch_dir reclaiming {d} (>{_FRESH_RETAIN} newer "
+            f"same-key calls for tag {tag!r}); any DataFrame still scanning "
+            "it will fail at collect time",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         shutil.rmtree(d, ignore_errors=True)
     return path
 

@@ -993,10 +993,11 @@ def test_ewma_matches_python_fraction_spec(sp, tmp_path_factory, vals):
 )
 def test_mad_outliers_match_python_spec(sp, tmp_path_factory, vals):
     """med, MAD, the outlier COUNT, and the outlier value mass all equal a
-    pure-Python IEEE rederivation (same doubles, same midpoint medians,
-    cents-exact mass) for any value distribution."""
+    pure-Python EXACT-RATIONAL rederivation (integer cents, 2x-median
+    integers, integer outlier compare) for any value distribution —
+    the ADVICE-r5 hardening: no engine median formula or IEEE rounding
+    mode can move the result, because every compare is integer."""
     import datetime as dt
-    import statistics
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1023,16 +1024,41 @@ def test_mad_outliers_match_python_spec(sp, tmp_path_factory, vals):
         ),
         str(d / "events.parquet"),
     )
-    xs = [c / 100.0 for c in vals]  # the same IEEE doubles the engines read
-    med = statistics.median(xs)  # midpoint interpolation == quantile_cont(0.5)
-    adev = [abs(x - med) for x in xs]
-    mad = statistics.median(adev)
-    out_idx = [i for i, a in enumerate(adev) if a > MAD_K * mad]
+    def med2(xs: list[int]) -> int:
+        """2 x median of integers, exactly (sum of the two middle values)."""
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] + s[(n - 1) // 2]
+
+    m2 = med2(vals)  # 2*median in cents — integer
+    a2 = [abs(2 * v - m2) for v in vals]  # 2*adev in cents — integer
+    mad4 = med2(a2)  # 4*MAD in cents — integer
+    out_idx = [i for i, a in enumerate(a2) if 2 * a > MAD_K * mad4]
     row = all_queries()["quality_mad_outliers"].fn(sp, str(d)).collect()[0]
-    assert row.n_rows == len(xs)
-    assert row.med == med and row.mad == mad
+    assert row.n_rows == len(vals)
+    assert row.med == m2 / 200.0 and row.mad == mad4 / 400.0
     assert row.n_outliers == len(out_idx)
     if out_idx:
         assert row.outlier_value_sum == sum(vals[i] for i in out_idx) / 100.0
     else:
         assert row.outlier_value_sum is None
+
+
+def test_catalog_events_ts_is_ms_truncated(spark):
+    """ADVICE-r5 closure (window_ewma_exact / join_asof_attribution ordering):
+    a cross-engine window orderBy over events.ts can only diverge if the two
+    engines sort different keys.  They cannot: catalog.table ms-truncates ts
+    on the Spark side (events_ts_ms) and every oracle mirrors it with
+    date_trunc('milliseconds', ts) (_EV).  This pins the Spark half of that
+    contract — no sub-millisecond residue may survive the catalog scan, at
+    any SF vintage."""
+    from kafka_spark_streaming_eval_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    bad = (
+        table(spark, SF_DIR, "events")
+        .selectExpr("count_if(unix_micros(ts) % 1000 != 0) AS bad")
+        .collect()[0]
+        .bad
+    )
+    assert bad == 0

@@ -761,16 +761,65 @@ def test_quality_classifier_score_matches_hand_hash(spark, tmp_path):
 def test_domain_cap_bounds_every_domain(spark):
     """Cap conservation: kept+dropped == docs per source, global kept mass
     is bounded by domains*cap, and sf0.01's 500 docs over 32 domains must
-    actually overflow the cap somewhere (the positive path)."""
+    actually overflow the cap somewhere (the positive path).  Two-level
+    invariants (r6): the level-1 survivor mass is bounded by
+    domains*shards*cap and dominates the final kept mass per source."""
     from kafka_spark_streaming_eval_spark.operators.curation2 import (
         DOMAIN_CAP,
         DOMAIN_COUNT,
+        DOMAIN_SHARDS,
     )
 
     rows = SPECS["pipeline_domain_cap"].fn(spark, SF_DIR).collect()
     assert all(r.n_kept + r.n_dropped == r.n_docs for r in rows)
     assert sum(r.n_kept for r in rows) <= DOMAIN_COUNT * DOMAIN_CAP
     assert sum(r.n_dropped for r in rows) > 0
+    assert all(r.n_kept <= r.n_lvl1_kept for r in rows)
+    assert (
+        sum(r.n_lvl1_kept for r in rows)
+        <= DOMAIN_COUNT * DOMAIN_SHARDS * DOMAIN_CAP
+    )
+
+
+def test_domain_cap_two_level_equals_one_level(spark):
+    """The (domain, shard) cap-then-recap must select EXACTLY the one-level
+    per-domain top-CAP: level 1 cannot drop a final winner (global domain
+    rank <= CAP implies within-shard rank <= CAP), so per-source kept
+    counts from the registered two-level query equal an independently
+    computed one-level ranked window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from kafka_spark_streaming_eval_spark.catalog import table
+    from kafka_spark_streaming_eval_spark.operators.curation2 import (
+        DOMAIN_CAP,
+        DOMAIN_COUNT,
+        _hb,
+    )
+
+    d = table(spark, SF_DIR, "documents")
+    did = F.col("doc_id").cast("string")
+    one_level = (
+        d.select(
+            "source",
+            "doc_id",
+            (_hb(did) % DOMAIN_COUNT).alias("dom"),
+            F.md5(F.concat(did, F.lit(":rank"))).alias("rk"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("dom").orderBy("rk", "doc_id"))
+        )
+        .where(F.col("rn") <= DOMAIN_CAP)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    expected = {r.source: r.n_kept for r in one_level.collect()}
+    got = {
+        r.source: r.n_kept
+        for r in SPECS["pipeline_domain_cap"].fn(spark, SF_DIR).collect()
+        if r.n_kept
+    }
+    assert got == {s: k for s, k in expected.items() if k}
 
 
 def test_ewma_constant_series_is_the_constant(spark, tmp_path):
