@@ -333,6 +333,9 @@ def test_fake_decoder_used_only_by_documented_queries():
 
     # Inside multimodal.py, every registered query whose body touches the
     # fake decoder must carry 'fake' in its registered name (self-labeling).
+    # The PNG path is exempt since round 6: decode_image is REAL for PNG
+    # blobs (functions/png.py), so a query named *png* using it is not a
+    # fake-feature dependency.
     import inspect
 
     from kafka_spark_streaming_eval_spark.plans.registry import all_queries
@@ -342,9 +345,13 @@ def test_fake_decoder_used_only_by_documented_queries():
             src = inspect.getsource(spec.fn)
         except (OSError, TypeError):
             continue
-        if "make_fake_decoder" in src or "decode_image" in src:
+        if "make_fake_decoder" in src:
             assert "fake" in name, (
                 f"query {name} uses the fake decoder without labeling itself"
+            )
+        elif "decode_image" in src:
+            assert "fake" in name or "png" in name, (
+                f"query {name} uses decode_image without a fake/png label"
             )
 
 
