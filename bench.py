@@ -95,6 +95,49 @@ HEADLINE = [
 
 THROUGHPUT_EVENTS = 1_000_000
 
+# Non-headline coverage rotation (VERDICT r5 item 6): each bench run ALSO
+# times TIER2_COUNT non-headline queries once each — never-benched first,
+# then stalest-benched (read from the committed BENCH_r*.json history, the
+# same stalest-first idea as the correctness rotation) — so every registry
+# query earns a committed sf0.1 timing within ~2 rounds instead of the
+# headline 56 being the only measured set.  runs=1 (these are coverage
+# timings, not the churn-audited headline series).
+TIER2_COUNT = 92
+
+
+def _last_benched_round() -> dict[str, int]:
+    """Per query, the latest committed BENCH_r*.json round that timed it
+    (headline or tier2)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key in ("queries", "tier2_queries"):
+            for name in payload.get(key, {}) or {}:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def tier2_rotation(specs) -> list[str]:
+    """The TIER2_COUNT non-headline queries to time this run: never-benched
+    first (registration order), then stalest committed timing first."""
+    last = _last_benched_round()
+    pool = [n for n in specs if n not in HEADLINE]
+    idx = {n: i for i, n in enumerate(pool)}
+    pool.sort(key=lambda n: (last.get(n, -1), idx[n]))
+    return pool[:TIER2_COUNT]
+
 
 def time_query(fn, spark, sf_dir, runs: int = 2) -> float:
     best = float("inf")
@@ -218,6 +261,12 @@ def main() -> None:
     for name in order:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
 
+    # tier2 coverage rotation (disable with SPARK_GRAFT_BENCH_TIER2=0)
+    tier2: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
+        for name in tier2_rotation(specs):
+            tier2[name] = round(time_query(specs[name].fn, spark, sf_dir, runs=1), 4)
+
     eps = throughput_eps(spark)
 
     # The latency-sensitive streaming measurement runs in a FRESH
@@ -268,6 +317,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "tier2_queries": tier2,
+                "tier2_total": round(sum(tier2.values()), 4),
+                "tier2_policy": "stalest-first rotation over non-headline, runs=1",
                 "sf": sf,
                 "throughput_eps": round(eps, 1),
                 "throughput_events": THROUGHPUT_EVENTS,

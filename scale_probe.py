@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Measured scale point beyond sf0.1 for the heaviest operators
+(VERDICT r5 item 2).
+
+`/root/testdata` tops out at sf0.1, so this probe SYNTHESIZES an
+sf1-equivalent corpus (10x sf0.1) and measures the 8 most expensive
+registered operators at both scales, giving a measured time-vs-rows growth
+row per operator (SCALE.md records the table).  The synthesis preserves each
+operator's workload SHAPE instead of just duplicating bytes:
+
+- ``documents`` x10: replica k > 0 rewrites every token t -> "t~k", so each
+  replica's INTRA-replica structure (planted duplicates, shingle overlaps,
+  source mix, doc_id % residues — the id shift is a multiple of 50) is
+  byte-for-byte isomorphic to sf0.1 while cross-replica token sets are
+  disjoint — i.e. "10x more data from the same distribution", not "the same
+  data 10 times" (which would measure the dedup caps, not the scaling).
+- ``embeddings`` x10: replica k rolls each vector by k positions —
+  norm- and intra-replica-geometry-preserving, so cluster structure
+  replicates without creating 10-way exact duplicates.
+- ``lineitem``/``orders`` x10 with orderkey shift (fact-table growth);
+  dimensions (customer/supplier/nation/region/part) and ``events`` are
+  carried over unchanged, matching how a real 10x ingest grows facts
+  against stable dimensions.
+
+Usage::
+
+    python scale_probe.py [--factor 10] [--runs 2]
+
+Prints one JSON line: per-op {rows_base, rows_x, sec_base, sec_x,
+time_growth} plus the row-growth factor.  Deterministic output data
+(content-derived transforms only); scratch lives under /tmp and is reused
+across invocations in one process lifetime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ID_SHIFT = 10_000_000  # multiple of every doc_id % residue the ops use
+KEY_SHIFT = 1_000_000  # > max orderkey at sf0.1 (149,999)
+
+HEAVY_OPS = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_cluster_components",
+    "text_contamination_matrix",
+    "graph_pagerank_trade",
+    "sim_semantic_dedup",
+    "dedup_cdc_chunks",
+    "stream_incremental_contamination",
+    "pipeline_dsir_importance",
+]
+
+# per-op primary input table (for the rows_base/rows_x columns)
+OP_TABLE = {
+    "dedup_minhash_lsh_pairs": "documents",
+    "dedup_cluster_components": "documents",
+    "text_contamination_matrix": "documents",
+    "graph_pagerank_trade": "lineitem",
+    "sim_semantic_dedup": "embeddings",
+    "dedup_cdc_chunks": "documents",
+    "stream_incremental_contamination": "documents",
+    "pipeline_dsir_importance": "documents",
+}
+
+
+def build_synth(out_dir: str, factor: int) -> None:
+    """Write the 10x corpus (idempotent: skips when already complete)."""
+    marker = os.path.join(out_dir, f".complete_f{factor}")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    # documents: token-remapped replicas
+    docs = pq.read_table(os.path.join(BASE, "documents.parquet"))
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for k in range(factor):
+        suffix = f"~{k}"
+        for i, t in enumerate(texts):
+            nt = t if k == 0 else " ".join(tok + suffix for tok in t.split(" "))
+            out["doc_id"].append(doc_ids[i] + k * ID_SHIFT)
+            out["text"].append(nt)
+            out["lang"].append(langs[i])
+            out["source"].append(sources[i])
+            out["n_chars"].append(len(nt))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "text": pa.array(out["text"]),
+                "lang": pa.array(out["lang"]),
+                "source": pa.array(out["source"]),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+            }
+        ),
+        os.path.join(out_dir, "documents.parquet"),
+    )
+
+    # embeddings: rolled replicas
+    emb = pq.read_table(os.path.join(BASE, "embeddings.parquet"))
+    vec_ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float32)
+    labels = np.asarray(emb.column("label").to_pylist(), dtype=np.int32)
+    all_ids, all_vecs, all_labels = [], [], []
+    for k in range(factor):
+        all_ids.append(vec_ids + k * ID_SHIFT)
+        all_vecs.append(np.roll(vecs, k, axis=1))
+        all_labels.append(labels)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(all_ids), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in np.concatenate(all_vecs)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.concatenate(all_labels), pa.int32()),
+            }
+        ),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+    # facts: lineitem/orders replicated with shifted orderkeys
+    for name, keycols in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
+        t = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
+        reps = []
+        for k in range(factor):
+            cols = {}
+            for c in t.column_names:
+                arr = t.column(c)
+                if c in keycols and k:
+                    arr = pa.array(
+                        np.asarray(arr.to_pylist(), dtype=np.int64) + k * KEY_SHIFT,
+                        pa.int64(),
+                    )
+                cols[c] = arr
+            reps.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(reps), os.path.join(out_dir, f"{name}.parquet"))
+
+    # dimensions + events: carried over unchanged
+    for name in ("region", "nation", "customer", "supplier", "part", "events"):
+        shutil.copyfile(
+            os.path.join(BASE, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    factor = 10
+    runs = 2
+    args = sys.argv[1:]
+    if "--factor" in args:
+        factor = int(args[args.index("--factor") + 1])
+    if "--runs" in args:
+        runs = int(args[args.index("--runs") + 1])
+
+    synth = f"/tmp/sgraft_scaleprobe_f{factor}"
+    t0 = time.perf_counter()
+    build_synth(synth, factor)
+    build_s = time.perf_counter() - t0
+
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+    from kafka_spark_streaming_eval_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    specs = all_queries()
+    rows = {
+        t: (
+            pq.ParquetFile(os.path.join(BASE, f"{t}.parquet")).metadata.num_rows,
+            pq.ParquetFile(os.path.join(synth, f"{t}.parquet")).metadata.num_rows,
+        )
+        for t in set(OP_TABLE.values())
+    }
+
+    # warm-up excluded from measurement (JVM/JIT/page cache)
+    specs["dedup_exact_content_hash"].fn(spark, BASE).count()
+
+    report = {}
+    for name in HEAVY_OPS:
+        fn = specs[name].fn
+        best_b = min(
+            _timed(fn, spark, BASE) for _ in range(runs)
+        )
+        best_x = min(
+            _timed(fn, spark, synth) for _ in range(runs)
+        )
+        rb, rx = rows[OP_TABLE[name]]
+        report[name] = {
+            "rows_base": rb,
+            "rows_x": rx,
+            "sec_base": round(best_b, 3),
+            "sec_x": round(best_x, 3),
+            "time_growth": round(best_x / best_b, 2) if best_b else None,
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "factor": factor,
+                "base": BASE,
+                "synth_build_s": round(build_s, 1),
+                "ops": report,
+            }
+        )
+    )
+    spark.stop()
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()

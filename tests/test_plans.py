@@ -414,3 +414,35 @@ def test_rotation_order_never_green_first():
     assert len(never) <= 50, (
         f"{len(never)} never-green queries exceed the 50-query driver budget"
     )
+
+
+def test_plan_audit_covers_registry():
+    """PLAN_AUDIT.txt can never silently under-cover again (VERDICT r5
+    item 5): the audited row names plus the named _EXEC_ON_BUILD
+    exclusions must partition the full registry exactly — every excluded
+    name must also appear in the file's header so the provenance is
+    readable in-file."""
+    import os
+
+    from kafka_spark_streaming_eval_spark.plans.audit import _EXEC_ON_BUILD
+    from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.txt")
+    with open(path) as f:
+        lines = f.readlines()
+    header_text = "".join(line for line in lines if line.startswith("#"))
+    rows = {
+        line.split()[0]
+        for line in lines
+        if line.strip()
+        and not line.startswith(("#", "-", "query "))
+    }
+    registry = set(all_queries())
+    for name in _EXEC_ON_BUILD:
+        assert name in header_text, f"exclusion {name} not named in the header"
+    assert rows.isdisjoint(_EXEC_ON_BUILD)
+    missing = registry - rows - _EXEC_ON_BUILD
+    stale = rows - registry
+    assert not missing, f"registry queries with no audit row: {sorted(missing)}"
+    assert not stale, f"audit rows for unregistered queries: {sorted(stale)}"
+    assert len(rows) + len(_EXEC_ON_BUILD) == len(registry)
