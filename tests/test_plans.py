@@ -446,3 +446,23 @@ def test_plan_audit_covers_registry():
     assert not missing, f"registry queries with no audit row: {sorted(missing)}"
     assert not stale, f"audit rows for unregistered queries: {sorted(stale)}"
     assert len(rows) + len(_EXEC_ON_BUILD) == len(registry)
+
+
+def test_coverage_plan_facts_in_sync():
+    """COVERAGE.md's generated plan-facts section must match a fresh
+    render from PLAN_AUDIT.txt + the registry — forcing
+    `python -m kafka_spark_streaming_eval_spark.plans.coverage_gen` to be
+    re-run whenever plans or the registry change, so the committed doc is
+    generated truth, not stale prose."""
+    import os
+
+    from kafka_spark_streaming_eval_spark.plans.coverage_gen import BEGIN, END, render
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    with open(path) as f:
+        text = f.read()
+    assert BEGIN in text and END in text, "generated section missing"
+    current = text.split(BEGIN, 1)[1].split(END, 1)[0].strip("\n")
+    assert current == render(), (
+        "COVERAGE.md plan facts are stale — rerun plans.coverage_gen"
+    )
