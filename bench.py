@@ -106,26 +106,47 @@ TIER2_COUNT = 92
 
 
 def _last_benched_round() -> dict[str, int]:
-    """Per query, the latest committed BENCH_r*.json round that timed it
-    (headline or tier2)."""
+    """Per query, the latest committed bench round that timed it (headline or
+    tier2).  Reads three shapes: the driver's wrapper files (payload nested
+    under "parsed"; when "parsed" is null — the >2000-char-line rounds —
+    query names are recovered from the 2000-char "tail" by regex), a bare
+    bench JSON, and the BENCH_DETAILS.json sidecar (always at least as new
+    as the newest committed round)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
+
+    def absorb(payload: dict, rnd: int) -> None:
+        for key in ("queries", "tier2_queries"):
+            for name in payload.get(key) or {}:
+                last[name] = max(last.get(name, 0), rnd)
+
+    max_rnd = 0
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        max_rnd = max(max_rnd, rnd)
         try:
             with open(path) as f:
-                payload = json.load(f)
+                raw = json.load(f)
         except (OSError, ValueError):
             continue
-        for key in ("queries", "tier2_queries"):
-            for name in payload.get(key, {}) or {}:
-                last[name] = max(last.get(name, 0), rnd)
+        if isinstance(raw.get("parsed"), dict):
+            absorb(raw["parsed"], rnd)
+        elif "queries" in raw or "tier2_queries" in raw:
+            absorb(raw, rnd)
+        elif isinstance(raw.get("tail"), str):
+            for nm in re.findall(r'"([a-z0-9_]+)":\s*-?[0-9.]+', raw["tail"]):
+                last[nm] = max(last.get(nm, 0), rnd)
+    try:
+        with open(os.path.join(here, DETAILS_FILE)) as f:
+            absorb(json.load(f), max_rnd + 1)
+    except (OSError, ValueError):
+        pass
     return last
 
 
@@ -137,6 +158,43 @@ def tier2_rotation(specs) -> list[str]:
     idx = {n: i for i, n in enumerate(pool)}
     pool.sort(key=lambda n: (last.get(n, -1), idx[n]))
     return pool[:TIER2_COUNT]
+
+
+# The grading driver captures only the LAST ~2000 chars of bench stdout and
+# parses the final JSON line from that window: BENCH_r01..r04 (line lengths
+# 1434..1857) parsed fine, r05 (>2000 after 13 new headline queries) came
+# back "parsed": null with the tail starting mid-line.  The stdout line is
+# therefore BUDGETED: scalar metrics always included, per-query timings
+# added slowest-first until the serialized line would cross STDOUT_BUDGET,
+# and the COMPLETE payload (every headline + tier-2 timing, full precision)
+# written to DETAILS_FILE alongside this script.
+STDOUT_BUDGET = 1900
+DETAILS_FILE = "BENCH_DETAILS.json"
+
+
+def budget_stdout_payload(full: dict, limit: int = STDOUT_BUDGET) -> dict:
+    """The stdout-line subset of ``full``: all scalar fields, plus as many
+    per-query timings (slowest first) as fit in ``limit`` serialized chars.
+    ``queries_n``/``queries_omitted`` make the truncation explicit and
+    ``queries_full`` names the sidecar carrying the rest."""
+    slim = {
+        k: v
+        for k, v in full.items()
+        if k not in ("queries", "tier2_queries", "tier2_policy")
+    }
+    all_q = dict(full.get("queries", {}))
+    slim["queries"] = {}
+    slim["queries_n"] = len(all_q)
+    slim["queries_omitted"] = len(all_q)
+    slim["queries_full"] = DETAILS_FILE
+    for name, sec in sorted(all_q.items(), key=lambda kv: (-kv[1], kv[0])):
+        candidate = dict(slim)
+        candidate["queries"] = {**slim["queries"], name: sec}
+        candidate["queries_omitted"] = len(all_q) - len(candidate["queries"])
+        if len(json.dumps(candidate)) > limit:
+            break
+        slim = candidate
+    return slim
 
 
 def time_query(fn, spark, sf_dir, runs: int = 2) -> float:
@@ -310,30 +368,37 @@ def main() -> None:
         time.sleep(2.0)
         stream_eps, stream_p95, recovery_s = streaming_live(spark)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tier2_queries": tier2,
-                "tier2_total": round(sum(tier2.values()), 4),
-                "tier2_policy": "stalest-first rotation over non-headline, runs=1",
-                "sf": sf,
-                "throughput_eps": round(eps, 1),
-                "throughput_events": THROUGHPUT_EVENTS,
-                "stream_input_eps": 50000,
-                "stream_isolation": stream_isolation,
-                "stream_sustained_eps": round(stream_eps, 1),
-                "stream_p95_latency_ms": round(stream_p95, 1),
-                "recovery_s": round(recovery_s, 2),
-                "baseline_throughput_eps": 6914.7,
-                "baseline_p95_latency_ms": 4704.0,
-                "baseline_recovery_s": 47.0,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "tier2_queries": tier2,
+        "tier2_total": round(sum(tier2.values()), 4),
+        "tier2_n": len(tier2),
+        "tier2_policy": "stalest-first rotation over non-headline, runs=1",
+        "sf": sf,
+        "throughput_eps": round(eps, 1),
+        "throughput_events": THROUGHPUT_EVENTS,
+        "stream_input_eps": 50000,
+        "stream_isolation": stream_isolation,
+        "stream_sustained_eps": round(stream_eps, 1),
+        "stream_p95_latency_ms": round(stream_p95, 1),
+        "recovery_s": round(recovery_s, 2),
+        "baseline_throughput_eps": 6914.7,
+        "baseline_p95_latency_ms": 4704.0,
+        "baseline_recovery_s": 47.0,
+    }
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), DETAILS_FILE
     )
+    try:
+        with open(details_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout must not kill the bench
+        print(f"bench: could not write {details_path}: {exc!r}", file=sys.stderr)
+    print(json.dumps(budget_stdout_payload(full)))
     spark.stop()
 
 

@@ -1,0 +1,125 @@
+"""bench.py contract tests.
+
+The driver executes ``python bench.py`` per round and parses its single JSON
+line; these tests pin the parts of that contract that don't need a timed run:
+headline names must resolve in the registry, and the tier-2 coverage rotation
+(VERDICT r5 item 6) must pick never-benched queries first, then the stalest
+committed timing, never a headline query, and must cover the whole
+non-headline pool within two rounds.
+"""
+
+from __future__ import annotations
+
+import bench
+from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+
+def test_headline_names_all_registered():
+    registered = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"HEADLINE names absent from registry: {missing}"
+
+
+def test_headline_names_unique():
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_tier2_covers_pool_within_two_rounds():
+    pool = [n for n in all_queries() if n not in set(bench.HEADLINE)]
+    assert len(pool) <= 2 * bench.TIER2_COUNT, (
+        f"non-headline pool {len(pool)} exceeds two rotations of "
+        f"TIER2_COUNT={bench.TIER2_COUNT}; raise TIER2_COUNT"
+    )
+
+
+def test_tier2_rotation_never_benched_first_then_stalest(monkeypatch):
+    specs = {n: None for n in ["h1", "a", "b", "c", "d", "e"]}
+    monkeypatch.setattr(bench, "HEADLINE", ["h1"])
+    monkeypatch.setattr(bench, "TIER2_COUNT", 3)
+    # a: benched r5, b: never, c: benched r2, d: never, e: benched r4
+    monkeypatch.setattr(
+        bench, "_last_benched_round", lambda: {"a": 5, "c": 2, "e": 4, "h1": 5}
+    )
+    picked = bench.tier2_rotation(specs)
+    # never-benched (b, d) lead in registration order, then stalest (c r2)
+    assert picked == ["b", "d", "c"]
+    assert "h1" not in picked
+
+
+def test_tier2_rotation_excludes_headline_on_real_registry():
+    specs = dict.fromkeys(all_queries())
+    picked = bench.tier2_rotation(specs)
+    assert len(picked) == min(
+        bench.TIER2_COUNT, len(specs) - len(set(bench.HEADLINE) & set(specs))
+    )
+    assert not set(picked) & set(bench.HEADLINE)
+
+
+def test_last_benched_round_reads_committed_history():
+    last = bench._last_benched_round()
+    # BENCH_r01..r05 are committed; every headline query that has been in
+    # the file since r1 must show a round >= 1 (r01-r04 via the driver's
+    # "parsed" nesting, r05 via tail-regex recovery).
+    assert last.get("tpch_q1_pricing_summary", 0) >= 1
+    # r05's tail ends with queries r01-r04 never timed — recovered by regex
+    assert last.get("quality_mad_outliers", 0) >= 5
+    assert all(isinstance(v, int) for v in last.values())
+
+
+def _fake_full_payload(n_queries: int) -> dict:
+    return {
+        "metric": "headline_queries_total",
+        "value": 41.1,
+        "unit": "sec",
+        "queries": {f"query_{i:03d}_with_a_realistic_name": round(0.01 * i, 4)
+                    for i in range(n_queries)},
+        "tier2_queries": {f"tier2_{i:03d}": 0.5 for i in range(92)},
+        "tier2_total": 46.0,
+        "tier2_n": 92,
+        "tier2_policy": "stalest-first rotation over non-headline, runs=1",
+        "sf": 0.1,
+        "throughput_eps": 1086572.6,
+        "throughput_events": 1_000_000,
+        "stream_input_eps": 50000,
+        "stream_isolation": "subprocess",
+        "stream_sustained_eps": 53846.2,
+        "stream_p95_latency_ms": 1747.6,
+        "recovery_s": 0.68,
+        "baseline_throughput_eps": 6914.7,
+        "baseline_p95_latency_ms": 4704.0,
+        "baseline_recovery_s": 47.0,
+    }
+
+
+def test_budget_stdout_line_fits_driver_tail_window():
+    # The driver keeps only the last ~2000 chars of stdout (BENCH_r05's
+    # "parsed": null proved it); the emitted line must stay under budget
+    # even with the full 236-query registry timed.
+    import json
+
+    full = _fake_full_payload(236)
+    slim = bench.budget_stdout_payload(full)
+    line = json.dumps(slim)
+    assert len(line) <= bench.STDOUT_BUDGET
+    assert json.loads(line)["metric"] == "headline_queries_total"
+    # scalar metrics all survive the trim
+    for key in ("value", "sf", "throughput_eps", "stream_p95_latency_ms",
+                "recovery_s", "stream_isolation", "tier2_total"):
+        assert slim[key] == full[key]
+    # slowest queries are the ones kept
+    kept = slim["queries"]
+    assert kept, "budget must fit at least some queries"
+    slowest = max(full["queries"], key=full["queries"].get)
+    assert slowest in kept
+    assert slim["queries_n"] == 236
+    assert slim["queries_omitted"] == 236 - len(kept)
+    assert slim["queries_full"] == bench.DETAILS_FILE
+    # the bulky maps never leak into the stdout line
+    assert "tier2_queries" not in slim
+
+
+def test_budget_keeps_everything_when_small():
+    full = _fake_full_payload(5)
+    slim = bench.budget_stdout_payload(full)
+    assert slim["queries_omitted"] == 0
+    assert slim["queries"] == full["queries"]
