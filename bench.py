@@ -319,10 +319,23 @@ def main() -> None:
     for name in order:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
 
-    # tier2 coverage rotation (disable with SPARK_GRAFT_BENCH_TIER2=0)
+    # tier2 coverage rotation (disable with SPARK_GRAFT_BENCH_TIER2=0).
+    # Wall-clock budgeted (SPARK_GRAFT_BENCH_TIER2_BUDGET_S, default 150 s,
+    # ~1.5x the measured 104 s for the full 92 at sf0.1) so bench runtime
+    # stays bounded as the registry grows: queries cut by the budget stay
+    # never/stalest-benched and lead the next round's rotation.
     tier2: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
+        tier2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIER2_BUDGET_S", "150"))
+        t2_start = time.perf_counter()
         for name in tier2_rotation(specs):
+            if time.perf_counter() - t2_start > tier2_budget:
+                print(
+                    f"bench: tier2 budget {tier2_budget:.0f}s hit after "
+                    f"{len(tier2)} queries; rest stay stalest for next round",
+                    file=sys.stderr,
+                )
+                break
             tier2[name] = round(time_query(specs[name].fn, spark, sf_dir, runs=1), 4)
 
     eps = throughput_eps(spark)

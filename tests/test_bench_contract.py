@@ -123,3 +123,36 @@ def test_budget_keeps_everything_when_small():
     slim = bench.budget_stdout_payload(full)
     assert slim["queries_omitted"] == 0
     assert slim["queries"] == full["queries"]
+
+
+def test_budget_line_under_limit_for_any_registry_shape():
+    # Property: whatever the registry grows into — name lengths, query
+    # counts, timing magnitudes — the stdout line never crosses the budget
+    # and the kept set is exactly the slowest prefix that fits.
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=60
+    )
+    timing = st.floats(
+        min_value=0.0, max_value=9999.0, allow_nan=False, allow_infinity=False
+    ).map(lambda x: round(x, 4))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.dictionaries(names, timing, max_size=400))
+    def check(queries):
+        full = _fake_full_payload(0)
+        full["queries"] = queries
+        slim = bench.budget_stdout_payload(full)
+        line = json.dumps(slim)
+        assert len(line) <= bench.STDOUT_BUDGET
+        assert slim["queries_n"] == len(queries)
+        assert slim["queries_omitted"] == len(queries) - len(slim["queries"])
+        # kept set is a prefix of the slowest-first order
+        order = sorted(queries, key=lambda n: (-queries[n], n))
+        assert set(slim["queries"]) == set(order[: len(slim["queries"])])
+
+    check()
