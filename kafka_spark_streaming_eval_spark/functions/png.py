@@ -187,7 +187,13 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing IHDR")
     if not seen_end:
         raise ValueError("missing IEND")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # zlib.error is NOT a ValueError subclass; without this wrap a
+        # corrupt-deflate (or IDAT-less) blob would break the documented
+        # "corrupt input raises ValueError" contract inside the kernel.
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
     if len(raw) != (stride + 1) * height:
         raise ValueError(
             f"scanline payload is {len(raw)} bytes, want {(stride + 1) * height}"

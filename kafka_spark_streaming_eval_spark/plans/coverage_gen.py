@@ -32,7 +32,13 @@ def _audit_rows(path: str | None = None) -> dict[str, dict[str, int]]:
                 continue
             parts = line.split()
             if len(parts) != 7:
-                continue
+                # A data row that doesn't parse must SCREAM, not vanish:
+                # silently skipping would understate the generated stats
+                # while the name-only coverage test still passed.
+                raise ValueError(
+                    f"PLAN_AUDIT row is not 'name + 6 ints' (got "
+                    f"{len(parts)} fields): {line.rstrip()!r}"
+                )
             name = parts[0]
             exch, bhj, smj, cart, pushed, wscg = map(int, parts[1:])
             rows[name] = {

@@ -73,8 +73,21 @@ OP_TABLE = {
 
 
 def build_synth(out_dir: str, factor: int) -> None:
-    """Write the 10x corpus (idempotent: skips when already complete)."""
-    marker = os.path.join(out_dir, f".complete_f{factor}")
+    """Write the 10x corpus (idempotent: skips when already complete).
+
+    The completion marker fingerprints the BASE corpus (path + documents
+    row count), not just the factor — otherwise a later run with a
+    different SPARK_GRAFT_SF_DIR would silently reuse a synth corpus
+    derived from the WRONG base and report bogus growth ratios."""
+    import hashlib
+
+    base_rows = pq.ParquetFile(
+        os.path.join(BASE, "documents.parquet")
+    ).metadata.num_rows
+    fp = hashlib.md5(
+        f"{os.path.abspath(BASE)}:{base_rows}".encode()
+    ).hexdigest()[:8]
+    marker = os.path.join(out_dir, f".complete_f{factor}_{fp}")
     if os.path.exists(marker):
         return
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -427,16 +427,16 @@ def test_plan_audit_covers_registry():
     from kafka_spark_streaming_eval_spark.plans.audit import _EXEC_ON_BUILD
     from kafka_spark_streaming_eval_spark.plans.registry import all_queries
 
+    from kafka_spark_streaming_eval_spark.plans.coverage_gen import _audit_rows
+
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.txt")
     with open(path) as f:
         lines = f.readlines()
     header_text = "".join(line for line in lines if line.startswith("#"))
-    rows = {
-        line.split()[0]
-        for line in lines
-        if line.strip()
-        and not line.startswith(("#", "-", "query "))
-    }
+    # SAME parser as the COVERAGE.md generator (strict: a malformed data
+    # row raises), so this invariant and the generated stats can never
+    # read the file two different ways.
+    rows = set(_audit_rows(path))
     registry = set(all_queries())
     for name in _EXEC_ON_BUILD:
         assert name in header_text, f"exclusion {name} not named in the header"

@@ -186,6 +186,34 @@ def test_corruption_raises_not_garbage():
         png_decode(SIGNATURE + chunk(b"IHDR", interlaced_ihdr) + chunk(b"IEND", b""))
 
 
+def test_bad_deflate_raises_valueerror_not_zlib_error():
+    """zlib.error is not a ValueError subclass — an IDAT-less blob or a
+    corrupt deflate stream behind a RECOMPUTED chunk CRC must still honor
+    the 'corrupt input raises ValueError' contract."""
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    # no IDAT at all -> zlib.decompress(b"") raises zlib.error
+    with pytest.raises(ValueError, match="IDAT"):
+        png_decode(SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # garbage deflate bytes with a VALID chunk CRC (CRC covers the wire
+    # bytes, not the deflate validity)
+    with pytest.raises(ValueError, match="IDAT"):
+        png_decode(
+            SIGNATURE
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", b"\xff\xff\xff\xff")
+            + chunk(b"IEND", b"")
+        )
+
+
 def test_decode_image_routes_png_and_keeps_gate():
     """decode_image: REAL result for PNG magic, NotImplementedError gate for
     anything else (no codec libs in this runtime)."""
