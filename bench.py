@@ -21,6 +21,16 @@ import time
 
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Pin the local JVM heap to an executor-realistic size (a 32-core executor
+# gets tens of GB, not PySpark's ~1 GB local default).  Measured on idle
+# same-day A/B pairs (SCALE.md round-6 heap experiment): the 1M-event parse
+# pass is GC-dominated on the default heap (1.04/1.18 M eps default vs
+# 1.30/1.49 M eps at 16g, +25%), and headline/p95 tighten ~2-4%.  setdefault:
+# an explicit PYSPARK_SUBMIT_ARGS from the caller wins.  Must happen before
+# the first SparkSession (JVM launch) — module import time is safe.
+_HEAP_PINNED = "PYSPARK_SUBMIT_ARGS" not in os.environ
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from kafka_spark_streaming_eval_spark.plans.registry import all_queries  # noqa: E402
@@ -395,6 +405,7 @@ def main() -> None:
         "throughput_events": THROUGHPUT_EVENTS,
         "stream_input_eps": 50000,
         "stream_isolation": stream_isolation,
+        "jvm_heap": "16g-pinned" if _HEAP_PINNED else "inherited",
         "stream_sustained_eps": round(stream_eps, 1),
         "stream_p95_latency_ms": round(stream_p95, 1),
         "recovery_s": round(recovery_s, 2),
