@@ -1062,3 +1062,58 @@ def test_catalog_events_ts_is_ms_truncated(spark):
         .bad
     )
     assert bad == 0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # doc id (deduped below)
+            st.integers(min_value=0, max_value=3),      # domain: few -> skewable
+            st.integers(min_value=0, max_value=7),      # shard (8, like the op)
+        ),
+        min_size=0,
+        max_size=300,
+    ),
+    cap=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_two_level_cap_composition_under_arbitrary_skew(docs, cap):
+    """pipeline_domain_cap's algebra, hypothesis-checked Spark-free: for ANY
+    document/domain/shard distribution — including the head-domain case the
+    testdata's md5-uniform domains never produce (all 300 docs in ONE domain)
+    — the (domain, shard) cap-then-recap selects EXACTLY the one-level
+    per-domain top-cap set, and no (domain, shard) reducer ever emits more
+    than cap rows.  Rank key is an arbitrary injective function of doc id
+    (hash), mirroring the operator's md5(doc_id||':rank')."""
+    seen = set()
+    rows = []
+    for doc, dom, shard in docs:
+        if doc in seen:
+            continue
+        seen.add(doc)
+        rk = hash((doc, "rank"))  # deterministic within one run; injective w/ doc tiebreak
+        rows.append((doc, dom, shard, (rk, doc)))
+
+    def topk(items, k):
+        return sorted(items, key=lambda r: r[3])[:k]
+
+    # one-level reference: per-domain top-cap
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r[1], []).append(r)
+    expect = {d: {r[0] for r in topk(rs, cap)} for d, rs in by_dom.items()}
+
+    # two-level: per-(dom, shard) top-cap, then per-dom top-cap of survivors
+    by_ds = {}
+    for r in rows:
+        by_ds.setdefault((r[1], r[2]), []).append(r)
+    lvl1 = {}
+    for (d, s), rs in by_ds.items():
+        kept = topk(rs, cap)
+        assert len(kept) <= cap  # the per-reducer output bound
+        lvl1.setdefault(d, []).extend(kept)
+    got = {d: {r[0] for r in topk(rs, cap)} for d, rs in lvl1.items()}
+
+    assert got == expect
+    # level-1 survivor mass bound: <= shards * cap per domain
+    assert all(len(rs) <= 8 * cap for rs in lvl1.values())
