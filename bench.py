@@ -21,15 +21,26 @@ import time
 
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Pin the local JVM heap to an executor-realistic size (a 32-core executor
-# gets tens of GB, not PySpark's ~1 GB local default).  Measured on idle
-# same-day A/B pairs (SCALE.md round-6 heap experiment): the 1M-event parse
-# pass is GC-dominated on the default heap (1.04/1.18 M eps default vs
-# 1.30/1.49 M eps at 16g, +25%), and headline/p95 tighten ~2-4%.  setdefault:
-# an explicit PYSPARK_SUBMIT_ARGS from the caller wins.  Must happen before
-# the first SparkSession (JVM launch) — module import time is safe.
-_HEAP_PINNED = "PYSPARK_SUBMIT_ARGS" not in os.environ
-os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
+_HEAP_PINNED = False
+
+
+def _pin_heap() -> None:
+    """Pin the local JVM heap to an executor-realistic size (a 32-core
+    executor gets tens of GB, not PySpark's ~1 GB local default).
+
+    Measured on idle same-day A/B pairs (SCALE.md round-6 heap experiment):
+    the 1M-event parse pass is GC-dominated on the default heap (1.04/1.18 M
+    eps default vs 1.30/1.49 M eps at 16g, +25%), and headline/p95 tighten
+    ~2-4%.  setdefault: an explicit PYSPARK_SUBMIT_ARGS from the caller
+    wins.  Must run before the first SparkSession (JVM launch) — called from
+    main(), NOT at import time, so `import bench` (e.g. from the bench
+    contract tests) leaves process env untouched.
+    """
+    global _HEAP_PINNED
+    _HEAP_PINNED = "PYSPARK_SUBMIT_ARGS" not in os.environ
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
+    )
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -307,6 +318,7 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
 
 
 def main() -> None:
+    _pin_heap()
     sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
@@ -429,6 +441,7 @@ def main() -> None:
 def stream_only() -> None:
     """Standalone streaming measurement (fresh JVM): prints one JSON line
     with the three exp1/exp3 numbers for the parent bench to absorb."""
+    _pin_heap()
     spark = get_spark("bench-stream")
     sustained, p95, recovery = streaming_live(spark)
     print(

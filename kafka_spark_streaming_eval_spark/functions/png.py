@@ -31,6 +31,7 @@ import zlib
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _BPP = {2: 3, 6: 4}  # color type -> bytes per pixel (8-bit depth)
+MAX_PIXELS = 1 << 26  # 64M px decode cap; larger headers raise ValueError
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -175,6 +176,16 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("nonstandard compression/filter method")
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
+            if width < 1 or height < 1:
+                raise ValueError(f"bad IHDR dimensions {width}x{height}")
+            # Bound the decode buffers BEFORE any allocation: a crafted
+            # header (e.g. width=2^31-1) must raise ValueError per the
+            # corrupt-input contract, not MemoryError.  4 bytes/px RGBA on a
+            # 64M-px image is already 256 MiB — far above any engine blob.
+            if width * height > MAX_PIXELS:
+                raise ValueError(
+                    f"IHDR {width}x{height} exceeds {MAX_PIXELS} pixel cap"
+                )
             bpp = _BPP[color_type]
             stride = width * bpp
         elif ctype == b"IDAT":

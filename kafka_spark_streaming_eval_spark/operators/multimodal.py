@@ -229,7 +229,13 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = max(1, -(-len(data) // stride))
                 pixels = data + b"\x00" * (stride * h - len(data))
                 w2, h2, ctype, dec = decode(encode(width, h, pixels))
-                assert (w2, h2, ctype) == (width, h, 2)
+                if (w2, h2, ctype) != (width, h, 2):
+                    # not assert: must survive `python -O` — a codec
+                    # mismatch has to fail the task, not skew the stats
+                    raise ValueError(
+                        f"png roundtrip mismatch: got {(w2, h2, ctype)}, "
+                        f"want {(width, h, 2)}"
+                    )
                 out["doc_id"].append(doc_id)
                 out["width"].append(w2)
                 out["height"].append(h2)

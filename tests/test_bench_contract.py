@@ -14,6 +14,16 @@ import bench
 from kafka_spark_streaming_eval_spark.plans.registry import all_queries
 
 
+def test_import_bench_has_no_env_side_effect():
+    """ADVICE r6: importing bench must NOT mutate PYSPARK_SUBMIT_ARGS — this
+    module imports bench above, so the heap pin leaking back to import time
+    would poison every later SparkSession in this pytest process."""
+    import os
+
+    assert not bench._HEAP_PINNED
+    assert "--driver-memory 16g" not in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+
+
 def test_headline_names_all_registered():
     registered = set(all_queries())
     missing = [n for n in bench.HEADLINE if n not in registered]

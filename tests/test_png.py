@@ -214,6 +214,24 @@ def test_bad_deflate_raises_valueerror_not_zlib_error():
         )
 
 
+def test_huge_header_raises_valueerror_before_allocation():
+    """A crafted IHDR (width=2^31-1) must hit the documented ValueError
+    contract, not MemoryError from buffer allocation (ADVICE r6)."""
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    for w, h in [(2**31 - 1, 1), (1, 2**31 - 1), (1 << 16, 1 << 16), (0, 4), (4, 0)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        with pytest.raises(ValueError, match="IHDR|pixel cap|dimensions"):
+            png_decode(SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+
+
 def test_decode_image_routes_png_and_keeps_gate():
     """decode_image: REAL result for PNG magic, NotImplementedError gate for
     anything else (no codec libs in this runtime)."""
@@ -223,3 +241,25 @@ def test_decode_image_routes_png_and_keeps_gate():
     assert decode_image(png_encode(3, 2, pixels)) == (3, 2, 2, pixels)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg header")
+
+
+def test_mm_kernel_codec_mismatch_fails_loudly(spark, monkeypatch):
+    """A codec mismatch inside the mm_png_decode_stats mapInPandas kernel
+    must FAIL the job (raised ValueError), not leak garbage into the stats
+    — and must do so even under `python -O` (VERDICT r6: the kernel used a
+    bare assert).  The kernel captures png_decode at query-build time, so
+    patching the module first makes the closure carry the broken codec."""
+    import os
+
+    from kafka_spark_streaming_eval_spark.functions import png as png_mod
+    from kafka_spark_streaming_eval_spark.operators import multimodal
+
+    def broken_decode(blob):
+        w, h, ct, px = png_decode(blob)
+        return w + 1, h, ct, px  # simulated width corruption
+
+    monkeypatch.setattr(png_mod, "png_decode", broken_decode)
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    df = multimodal.mm_png_decode_stats(spark, sf_dir)
+    with pytest.raises(Exception, match="png roundtrip mismatch"):
+        df.collect()

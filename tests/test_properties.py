@@ -11,6 +11,8 @@ invariants — the properties that make results reproducible on a cluster:
 
 from __future__ import annotations
 
+import hashlib
+
 import hypothesis.strategies as st
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -1091,7 +1093,10 @@ def test_two_level_cap_composition_under_arbitrary_skew(docs, cap):
         if doc in seen:
             continue
         seen.add(doc)
-        rk = hash((doc, "rank"))  # deterministic within one run; injective w/ doc tiebreak
+        # seed-independent rank key (NOT builtin hash(): PYTHONHASHSEED would
+        # make failing hypothesis examples unreplayable across processes);
+        # mirrors the operator's md5(doc_id||':rank') derivation.
+        rk = int(hashlib.md5(f"{doc}:rank".encode()).hexdigest()[:16], 16)
         rows.append((doc, dom, shard, (rk, doc)))
 
     def topk(items, k):
