@@ -369,6 +369,86 @@ def test_pagerank_lineage_truncated_by_checkpoint(spark):
     assert len(plan) < 4000, f"plan unexpectedly deep ({len(plan)} chars)"
 
 
+def test_content_hash_resets_on_body_or_oracle_change_not_docstring():
+    """VERDICT r6 item 2: the rotation's staleness key must fold in a
+    content hash so a rewritten query re-enters never-green — but pure
+    documentation edits must NOT reset a green stamp."""
+    from kafka_spark_streaming_eval_spark.plans.registry import (
+        QuerySpec,
+        content_hash,
+    )
+
+    def q_base(spark, sf_dir):
+        """doc A"""
+        return spark.range(1)
+
+    def q_docstring_only(spark, sf_dir):
+        """a completely different docstring, same body"""
+        return spark.range(1)
+
+    def q_comment_only(spark, sf_dir):
+        """doc A"""
+        # a new comment does not change behavior
+        return spark.range(1)
+
+    def q_body_change(spark, sf_dir):
+        """doc A"""
+        return spark.range(2)
+
+    base = content_hash(QuerySpec("q", q_base, "SELECT 1", "t"))
+    assert content_hash(QuerySpec("q", q_docstring_only, "SELECT 1", "t")) == base
+    assert content_hash(QuerySpec("q", q_comment_only, "SELECT 1", "t")) == base
+    assert content_hash(QuerySpec("q", q_body_change, "SELECT 1", "t")) != base
+    assert content_hash(QuerySpec("q", q_base, "SELECT 2", "t")) != base
+
+
+def test_ledger_hash_mismatch_resets_query_to_never_green(monkeypatch):
+    """A green CORRECTNESS row only counts for the code it verified: if the
+    ledger's recorded hash no longer matches the query's current content
+    hash, the query must drop out of the green set and sort into the
+    never-green rotation prefix."""
+    from kafka_spark_streaming_eval_spark.plans import registry
+
+    green = registry._last_green_round()
+    assert green, "no green queries — CORRECTNESS reports missing?"
+    victim = sorted(green)[0]
+    fake = dict(registry._green_hash_ledger())
+    fake[victim] = {"hash": "0" * 32, "round": green[victim]}
+    monkeypatch.setattr(registry, "_green_hash_ledger", lambda: fake)
+    green2 = registry._last_green_round()
+    assert victim not in green2
+    names = list(registry.all_queries())
+    first_green = next(i for i, n in enumerate(names) if n in green2)
+    assert names.index(victim) < first_green, (
+        "hash-reset query does not sort into the never-green prefix"
+    )
+
+
+def test_green_hash_ledger_attests_current_code():
+    """Protocol enforcement: every ledger entry's hash must match the
+    query's CURRENT content hash.  Rewriting a registered query makes this
+    fail until the entry is dropped (query re-verifies as never-green) or
+    legitimately re-stamped at round start — forgetting is what let three
+    r6 rewrites keep stale green stamps (VERDICT r6)."""
+    from kafka_spark_streaming_eval_spark.plans import registry
+
+    specs = registry.all_queries()
+    ledger = registry._green_hash_ledger()
+    assert ledger, "green-hash ledger missing"
+    stale = {
+        name
+        for name, rec in ledger.items()
+        if name in specs and rec.get("hash") != registry.content_hash(specs[name])
+    }
+    assert not stale, (
+        f"ledger hash out of date for {sorted(stale)}: the query body/oracle "
+        "changed since its green stamp — drop the ledger entry so it "
+        "re-verifies, or re-stamp at round start"
+    )
+    orphans = set(ledger) - set(specs)
+    assert not orphans, f"ledger entries for unregistered queries: {sorted(orphans)}"
+
+
 def test_rotation_order_never_green_first():
     """The driver's per-round budget covers a PREFIX of queries(), so the
     ordering IS the coverage policy: every query without a green
