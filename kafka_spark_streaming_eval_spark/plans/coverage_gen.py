@@ -31,12 +31,19 @@ def _audit_rows(path: str | None = None) -> dict[str, dict[str, int]]:
             if not line.strip() or line.startswith(("#", "-", "query ")):
                 continue
             parts = line.split()
+            trunc = 0
+            if len(parts) == 8 and parts[7].startswith("trunc:"):
+                # lineage-truncated row (iterative query): the 6 ints cover
+                # only the post-checkpoint stage; trunc:N counts the
+                # localCheckpoint truncation events during plan build
+                trunc = int(parts[7].split(":", 1)[1])
+                parts = parts[:7]
             if len(parts) != 7:
                 # A data row that doesn't parse must SCREAM, not vanish:
                 # silently skipping would understate the generated stats
                 # while the name-only coverage test still passed.
                 raise ValueError(
-                    f"PLAN_AUDIT row is not 'name + 6 ints' (got "
+                    f"PLAN_AUDIT row is not 'name + 6 ints [trunc:N]' (got "
                     f"{len(parts)} fields): {line.rstrip()!r}"
                 )
             name = parts[0]
@@ -48,6 +55,7 @@ def _audit_rows(path: str | None = None) -> dict[str, dict[str, int]]:
                 "cart": cart,
                 "pushed": pushed,
                 "wscg": wscg,
+                "trunc": trunc,
             }
     return rows
 
@@ -119,6 +127,15 @@ def render() -> str:
         + " — each justified in its operator docstring (iterative/multi-stage "
         "shapes, never a per-group or per-row loop)."
     )
+    truncd = sorted(n for n, a in audit.items() if a.get("trunc"))
+    if truncd:
+        lines.append(
+            "Lineage-truncated rows (localCheckpoint fired during plan "
+            "build, so the ints cover only the post-checkpoint stage): "
+            + ", ".join(f"`{n}` (trunc:{audit[n]['trunc']})" for n in truncd)
+            + " — the full un-truncated lineage for each is audited in "
+            "`PLAN_AUDIT.txt`'s header (`--no-trunc` mode)."
+        )
     excl = ", ".join(f"`{n}`" for n in sorted(_EXEC_ON_BUILD))
     lines.append(
         f"Not auditable by plan-build (streaming execution): {excl} — "

@@ -72,28 +72,59 @@ OP_TABLE = {
 }
 
 
-def build_synth(out_dir: str, factor: int) -> None:
-    """Write the 10x corpus (idempotent: skips when already complete).
+def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> None:
+    """Write the Nx corpus (idempotent: skips when already complete).
 
     The completion marker fingerprints the BASE corpus (path + documents
     row count), not just the factor — otherwise a later run with a
     different SPARK_GRAFT_SF_DIR would silently reuse a synth corpus
-    derived from the WRONG base and report bogus growth ratios."""
+    derived from the WRONG base and report bogus growth ratios.
+
+    ``tables`` restricts which FACT tables get replicated (an --ops run
+    that only touches documents must not pay a 60M-row lineitem build at
+    factor 100); dimensions always carry over, and the marker records the
+    replicated set so a later run needing MORE tables rebuilds."""
     import hashlib
 
+    tables = tables if tables is not None else {"documents", "embeddings", "lineitem", "orders"}
     base_rows = pq.ParquetFile(
         os.path.join(BASE, "documents.parquet")
     ).metadata.num_rows
     fp = hashlib.md5(
-        f"{os.path.abspath(BASE)}:{base_rows}".encode()
+        f"{os.path.abspath(BASE)}:{base_rows}:{','.join(sorted(tables))}".encode()
     ).hexdigest()[:8]
     marker = os.path.join(out_dir, f".complete_f{factor}_{fp}")
-    if os.path.exists(marker):
+    # legacy (pre---ops) markers carry no table set and attest a FULL build,
+    # which satisfies any subset — don't throw away an r6 corpus
+    legacy_fp = hashlib.md5(
+        f"{os.path.abspath(BASE)}:{base_rows}".encode()
+    ).hexdigest()[:8]
+    legacy = os.path.join(out_dir, f".complete_f{factor}_{legacy_fp}")
+    if os.path.exists(marker) or os.path.exists(legacy):
         return
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
 
     # documents: token-remapped replicas
+    if "documents" in tables:
+        _build_documents(out_dir, factor)
+    if "embeddings" in tables:
+        _build_embeddings(out_dir, factor)
+    if tables & {"lineitem", "orders"}:
+        _build_facts(out_dir, factor, tables)
+    # dimensions + events + any non-replicated fact: carried over unchanged
+    for name in (
+        "region", "nation", "customer", "supplier", "part", "events",
+        "documents", "embeddings", "lineitem", "orders",
+    ):
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(BASE, f"{name}.parquet"), dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _build_documents(out_dir: str, factor: int) -> None:
     docs = pq.read_table(os.path.join(BASE, "documents.parquet"))
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
@@ -122,6 +153,8 @@ def build_synth(out_dir: str, factor: int) -> None:
         os.path.join(out_dir, "documents.parquet"),
     )
 
+
+def _build_embeddings(out_dir: str, factor: int) -> None:
     # embeddings: rolled replicas
     emb = pq.read_table(os.path.join(BASE, "embeddings.parquet"))
     vec_ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
@@ -146,8 +179,12 @@ def build_synth(out_dir: str, factor: int) -> None:
         os.path.join(out_dir, "embeddings.parquet"),
     )
 
+
+def _build_facts(out_dir: str, factor: int, tables: set[str]) -> None:
     # facts: lineitem/orders replicated with shifted orderkeys
     for name, keycols in (("lineitem", ["l_orderkey"]), ("orders", ["o_orderkey"])):
+        if name not in tables:
+            continue
         t = pq.read_table(os.path.join(BASE, f"{name}.parquet"))
         reps = []
         for k in range(factor):
@@ -163,28 +200,25 @@ def build_synth(out_dir: str, factor: int) -> None:
             reps.append(pa.table(cols))
         pq.write_table(pa.concat_tables(reps), os.path.join(out_dir, f"{name}.parquet"))
 
-    # dimensions + events: carried over unchanged
-    for name in ("region", "nation", "customer", "supplier", "part", "events"):
-        shutil.copyfile(
-            os.path.join(BASE, f"{name}.parquet"),
-            os.path.join(out_dir, f"{name}.parquet"),
-        )
-    with open(marker, "w") as f:
-        f.write("ok")
-
 
 def main() -> None:
     factor = 10
     runs = 2
+    ops = list(HEAVY_OPS)
     args = sys.argv[1:]
     if "--factor" in args:
         factor = int(args[args.index("--factor") + 1])
     if "--runs" in args:
         runs = int(args[args.index("--runs") + 1])
+    if "--ops" in args:  # comma-separated subset, e.g. the 100x dedup rung
+        ops = args[args.index("--ops") + 1].split(",")
+        unknown = [o for o in ops if o not in OP_TABLE]
+        if unknown:
+            raise SystemExit(f"unknown ops (add to OP_TABLE): {unknown}")
 
     synth = f"/tmp/sgraft_scaleprobe_f{factor}"
     t0 = time.perf_counter()
-    build_synth(synth, factor)
+    build_synth(synth, factor, tables={OP_TABLE[o] for o in ops})
     build_s = time.perf_counter() - t0
 
     from kafka_spark_streaming_eval_spark.plans.registry import all_queries
@@ -204,7 +238,7 @@ def main() -> None:
     specs["dedup_exact_content_hash"].fn(spark, BASE).count()
 
     report = {}
-    for name in HEAVY_OPS:
+    for name in ops:
         fn = specs[name].fn
         best_b = min(
             _timed(fn, spark, BASE) for _ in range(runs)

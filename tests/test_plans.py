@@ -528,6 +528,40 @@ def test_plan_audit_covers_registry():
     assert len(rows) + len(_EXEC_ON_BUILD) == len(registry)
 
 
+def test_plan_audit_annotates_checkpoint_truncated_rows():
+    """VERDICT r6 item 7: iterative queries' audit rows are lineage-
+    truncated by localCheckpoint — they must carry an explicit trunc:N
+    marker (runtime-spy-detected, plans/audit.py) and the header must
+    document the full un-truncated lineage so the '0 cartesians' claim is
+    audit-true for checkpoint-hidden stages too."""
+    import os
+
+    from kafka_spark_streaming_eval_spark.plans.coverage_gen import _audit_rows
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.txt")
+    rows = _audit_rows(path)
+    truncd = {n for n, a in rows.items() if a.get("trunc")}
+    # the known iterative/localCheckpoint queries must be flagged — a
+    # regeneration that silently lost the spy would fail here
+    expected = {
+        "graph_pagerank_trade",
+        "graph_bfs_shortest_path",
+        "graph_triangle_count",
+        "graph_link_prediction",
+        "dedup_cluster_components",
+        "pipeline_curate_neardup",
+    }
+    missing = expected - truncd
+    assert not missing, f"checkpoint queries without trunc marker: {sorted(missing)}"
+    with open(path) as f:
+        header = "".join(line for line in f if line.startswith("#"))
+    for name in sorted(truncd):
+        assert name in header, (
+            f"trunc row {name} lacks a full-lineage annotation in the header"
+        )
+    assert "--no-trunc" in header, "header must cite the full-lineage audit mode"
+
+
 def test_coverage_plan_facts_in_sync():
     """COVERAGE.md's generated plan-facts section must match a fresh
     render from PLAN_AUDIT.txt + the registry — forcing
