@@ -246,12 +246,15 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift.  Features are two-md5-hex-digit buckets (256) of the bigram —
     the same engine-neutral md5 hashing as pipeline.py's shards.
 
-    Plan: histogram pass + scoring pass (two corpus scans — the unigram-LM
-    shape; at 100 TB the per-(doc, bucket) feature table is materialized
-    once so both passes read it instead of re-tokenizing), with the
-    256-row histogram and 2-value totals broadcast back (map-only
-    enrichment) and one (doc_id) aggregation to finish.  The DSIR trick is
-    exactly that the feature space, not the corpus, bounds the model."""
+    Plan: ONE corpus scan.  The per-(doc, bucket) feature table's shuffle
+    is computed once and reused (ReusedExchange) by the histogram branch;
+    the totals are an all-rows window over the 256-row histogram itself
+    (NOT a detached agg branch, which Catalyst re-derives with fresh
+    expression IDs and pays a second full corpus scan+explode — the r7
+    measured fix); the enriched histogram (r_b, t_b, big_r, big_t) is
+    broadcast back (map-only enrichment) and one (doc_id) aggregation
+    finishes.  The DSIR trick is exactly that the feature space, not the
+    corpus, bounds the model."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
     # Materialize the filtered token array BEFORE the transform lambda —
@@ -290,6 +293,14 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "source", "bucket")
         .agg(F.count(F.lit(1)).alias("k"))
+        # Materialize ONCE: both the histogram branch and the scoring join
+        # read this (the unigram-LM shape's shared feature table).  Without
+        # it, Catalyst's exchange reuse only covers one of the two extra
+        # derivations and the executed plan re-scans + re-explodes the whole
+        # corpus (measured r7: 2 FileScans).  |docs| x <=256 rows — far
+        # smaller than the corpus; at 100 TB this is the standard
+        # persist-the-feature-table step, local to executors.
+        .localCheckpoint(eager=True)
     )
     hist = docfeat.groupBy("bucket").agg(
         F.sum("k").cast("long").alias("r_b"),
@@ -297,9 +308,20 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t_b"),
     )
-    tot = hist.agg(
-        F.sum("r_b").cast("long").alias("big_r"),
-        F.sum("t_b").cast("long").alias("big_t"),
+    # Totals as an unpartitioned window over the 256-row histogram — NOT a
+    # separate hist.agg() branch: Catalyst re-derives a detached tot branch
+    # with fresh expression IDs, defeating exchange reuse, and the executed
+    # plan then scans + explodes the WHOLE corpus a second time to compute a
+    # 1-row total (measured r7: 2 FileScans -> 1, ~1/3 of the query's wall
+    # at 30x scale).  An all-rows window on <=256 rows is a single tiny
+    # task, legitimate despite the global-window rule of thumb.
+    wall = W.partitionBy()
+    hist = hist.select(
+        "bucket",
+        "r_b",
+        "t_b",
+        F.sum("r_b").over(wall).cast("long").alias("big_r"),
+        F.sum("t_b").over(wall).cast("long").alias("big_t"),
     )
     lift_q = F.floor(
         F.lit(1e6)
@@ -308,7 +330,6 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return (
         docfeat.join(F.broadcast(hist), "bucket")
-        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_feats"),
