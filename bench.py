@@ -249,6 +249,25 @@ def throughput_eps(spark) -> float:
         wire.unpersist()
 
 
+def stream_payload_ok(payload: dict) -> bool:
+    """True iff a --stream-only subprocess payload carries REAL measurements.
+
+    ``streaming_live`` returns sentinels (0.0 eps / -1.0 ms / -1.0 s) when
+    the stream produced no measurable batches — e.g. startup starvation
+    under heavy host load (observed in r7 closing run 3).  A sentinel
+    payload parses as valid JSON, so without this check it would be
+    recorded as the round's headline streaming numbers.  Sentinels trigger
+    a retry, then the in-process fallback."""
+    try:
+        return (
+            float(payload["stream_sustained_eps"]) > 0
+            and float(payload["stream_p95_latency_ms"]) > 0
+            and float(payload["recovery_s"]) > 0
+        )
+    except (KeyError, TypeError, ValueError):
+        return False
+
+
 def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     """exp1 methodology, live: rate source at ``rate_eps`` (≈7x the
     reference's saturation point) -> wire JSON -> parse -> fused per-batch
@@ -285,6 +304,18 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     query, sink = run_metrics_stream(
         parse_events(wire), ckpt, trigger_sec=1, collector=collector
     )
+    # Open the measurement window only once the stream actually produces:
+    # stream startup (JVM boot + source init + first micro-batch plan) is
+    # load-dependent and once exceeded the whole 20 s window on a warm
+    # machine (r7 closing run 3: zero non-empty batches -> sentinel 0.0 eps
+    # in the sidecar).  Startup time is not part of BASELINE exp1's
+    # sustained-throughput definition (it excluded 120 s of warm-up), so
+    # waiting here is methodology-faithful, not flattering.
+    start_deadline = time.time() + 90
+    while time.time() < start_deadline:
+        if any(r.batch_events > 0 for r in sink.rows):
+            break
+        time.sleep(0.25)
     time.sleep(run_s)
     query.stop()
     query.awaitTermination()
@@ -342,13 +373,15 @@ def main() -> None:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
 
     # tier2 coverage rotation (disable with SPARK_GRAFT_BENCH_TIER2=0).
-    # Wall-clock budgeted (SPARK_GRAFT_BENCH_TIER2_BUDGET_S, default 150 s,
-    # ~1.5x the measured 104 s for the full 92 at sf0.1) so bench runtime
-    # stays bounded as the registry grows: queries cut by the budget stay
-    # never/stalest-benched and lead the next round's rotation.
+    # Wall-clock budgeted (SPARK_GRAFT_BENCH_TIER2_BUDGET_S, default 200 s —
+    # the slowest observed full-92 pass took 125 s under ambient host load,
+    # r7 closing run 3, and a budget cut would delay full-registry timing
+    # coverage by a round) so bench runtime stays bounded as the registry
+    # grows: queries cut by the budget stay never/stalest-benched and lead
+    # the next round's rotation.
     tier2: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
-        tier2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIER2_BUDGET_S", "150"))
+        tier2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIER2_BUDGET_S", "200"))
         t2_start = time.perf_counter()
         for name in tier2_rotation(specs):
             if time.perf_counter() - t2_start > tier2_budget:
@@ -376,24 +409,34 @@ def main() -> None:
     # subprocess can never masquerade as the documented methodology.
     stream_eps = stream_p95 = recovery_s = None
     stream_isolation = "subprocess"
-    try:
-        import subprocess
+    import subprocess
 
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stream-only"],
-            capture_output=True,
-            text=True,
-            timeout=300,
-            env=dict(os.environ),
-        )
-        payload = json.loads(proc.stdout.strip().splitlines()[-1])
-        stream_eps = payload["stream_sustained_eps"]
-        stream_p95 = payload["stream_p95_latency_ms"]
-        recovery_s = payload["recovery_s"]
-    except Exception as exc:
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stream-only"],
+                capture_output=True,
+                text=True,
+                timeout=300,
+                env=dict(os.environ),
+            )
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            if not stream_payload_ok(payload):
+                raise ValueError(f"sentinel streaming payload {payload}")
+            stream_eps = payload["stream_sustained_eps"]
+            stream_p95 = payload["stream_p95_latency_ms"]
+            recovery_s = payload["recovery_s"]
+            break
+        except Exception as exc:
+            print(
+                f"bench: --stream-only subprocess attempt {attempt} failed "
+                f"({exc!r})",
+                file=sys.stderr,
+            )
+    if stream_eps is None:
         # settled in-process fallback (pre-r5 methodology)
         print(
-            f"bench: --stream-only subprocess failed ({exc!r}); "
+            "bench: both --stream-only attempts failed; "
             "falling back to in-process streaming measurement",
             file=sys.stderr,
         )

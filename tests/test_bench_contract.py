@@ -166,3 +166,28 @@ def test_budget_line_under_limit_for_any_registry_shape():
         assert set(slim["queries"]) == set(order[: len(slim["queries"])])
 
     check()
+
+
+def test_stream_payload_ok_accepts_real_measurements():
+    assert bench.stream_payload_ok(
+        {"stream_sustained_eps": 54545.5, "stream_p95_latency_ms": 1390.2, "recovery_s": 0.67}
+    )
+
+
+def test_stream_payload_ok_rejects_sentinels_and_junk():
+    """r7 closing run 3 regression: a starved stream returns sentinel values
+    (0.0 eps / -1.0 ms) that parse as valid JSON; recording them as headline
+    numbers is the bug this guard closes."""
+    sentinel = {
+        "stream_sustained_eps": 0.0,
+        "stream_p95_latency_ms": -1.0,
+        "recovery_s": 13.8,
+    }
+    assert not bench.stream_payload_ok(sentinel)
+    assert not bench.stream_payload_ok({})
+    assert not bench.stream_payload_ok(
+        {"stream_sustained_eps": "nope", "stream_p95_latency_ms": 1.0, "recovery_s": 1.0}
+    )
+    assert not bench.stream_payload_ok(
+        {"stream_sustained_eps": 100.0, "stream_p95_latency_ms": 1.0, "recovery_s": -1.0}
+    )
