@@ -191,3 +191,23 @@ def test_stream_payload_ok_rejects_sentinels_and_junk():
     assert not bench.stream_payload_ok(
         {"stream_sustained_eps": 100.0, "stream_p95_latency_ms": 1.0, "recovery_s": -1.0}
     )
+
+
+def test_stream_payload_ok_rejects_catchup_throughput():
+    """r7 regression #2: a slow stream start lets the rate source build a
+    backlog, and the window then measures backlog replay at max batch
+    throughput — 150k 'sustained' eps at 50k input.  With the input rate
+    given, sustained must be <= 1.5x input."""
+    catchup = {
+        "stream_sustained_eps": 150000.0,
+        "stream_p95_latency_ms": 3697.0,
+        "recovery_s": 10.08,
+    }
+    assert not bench.stream_payload_ok(catchup, rate_eps=50_000)
+    assert bench.stream_payload_ok(catchup)  # no rate -> no upper bound
+    steady = {
+        "stream_sustained_eps": 54545.5,
+        "stream_p95_latency_ms": 1390.2,
+        "recovery_s": 0.67,
+    }
+    assert bench.stream_payload_ok(steady, rate_eps=50_000)
