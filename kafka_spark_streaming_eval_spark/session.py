@@ -33,6 +33,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Shuffle sizing must be scale-adaptive, not static: AQE coalesces
+        # DOWN from the initial partition count but never grows it, so a
+        # static count right for sf0.1 starves large shuffles (measured at
+        # 100x sf0.1: text_contamination_matrix 166.9 s at 32 initial
+        # partitions vs 95.5 s at 256 — the 32-part shuffle task crosses
+        # the spill point; SCALE.md round-7).  8x parallelism initial,
+        # AQE-coalesced down for small inputs, is the standard rule.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * cpus),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -148,4 +159,17 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Scale-adaptive shuffle sizing (see get_spark): AQE can only coalesce
+    # down from the initial count, so seed it at 8x the session's
+    # parallelism; small inputs coalesce back, large shuffles stop
+    # spilling.  Results are partition-invariant (decimal-quantized sums,
+    # md5-derived ordering), so this is purely physical.
+    try:
+        parallelism = spark.sparkContext.defaultParallelism or 8
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(8 * parallelism, 64)),
+        )
+    except Exception:
+        pass  # a session we cannot introspect keeps its own sizing
     return spark

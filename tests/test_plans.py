@@ -580,3 +580,19 @@ def test_coverage_plan_facts_in_sync():
     assert current == render(), (
         "COVERAGE.md plan facts are stale — rerun plans.coverage_gen"
     )
+
+
+def test_session_shuffle_sizing_is_scale_adaptive(spark):
+    """SCALE.md round-7: AQE can only coalesce DOWN from the initial
+    partition count, so both our own sessions (get_spark) and prepped
+    foreign sessions (session.prep) must seed initialPartitionNum at 8x
+    parallelism — a static 32 starved the contamination-matrix shuffle at
+    100x (166.9 s -> 95.5 s measured)."""
+    from kafka_spark_streaming_eval_spark.session import prep
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    prep(spark)
+    got = int(spark.conf.get(key))
+    parallelism = spark.sparkContext.defaultParallelism
+    assert got == max(8 * parallelism, 64)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
