@@ -329,7 +329,10 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     while time.time() < start_deadline:
         rows_now = list(sink.rows)
         if rows_now and 0 < rows_now[-1].batch_events <= 1.5 * rate_eps:
-            steady_from = len(rows_now)
+            # -1: the batch that satisfied the gate IS the first steady batch
+            # and must stay in the pool (the rows[3:] warm-up trim below
+            # already shortens a ~20-batch window; don't lose another one).
+            steady_from = len(rows_now) - 1
             break
         time.sleep(0.25)
     time.sleep(run_s)
@@ -464,6 +467,23 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(2.0)
         stream_eps, stream_p95, recovery_s = streaming_live(spark)
+        # The fallback triple gets the SAME plausibility gate as the
+        # subprocess path: a starved/backlogged in-process run can produce
+        # the identical sentinel / catch-up shapes (the r7 incident), and
+        # without this check they'd be recorded as headline numbers.
+        fallback_payload = {
+            "stream_sustained_eps": stream_eps,
+            "stream_p95_latency_ms": stream_p95,
+            "recovery_s": recovery_s,
+        }
+        if not stream_payload_ok(fallback_payload, rate_eps=50_000):
+            print(
+                f"bench: in-process fallback payload implausible "
+                f"{fallback_payload}; recording nulls",
+                file=sys.stderr,
+            )
+            stream_eps = stream_p95 = recovery_s = None
+            stream_isolation = "in-process-invalid"
     total = round(sum(timings.values()), 4)
     full = {
         "metric": "headline_queries_total",
@@ -480,9 +500,9 @@ def main() -> None:
         "stream_input_eps": 50000,
         "stream_isolation": stream_isolation,
         "jvm_heap": "16g-pinned" if _HEAP_PINNED else "inherited",
-        "stream_sustained_eps": round(stream_eps, 1),
-        "stream_p95_latency_ms": round(stream_p95, 1),
-        "recovery_s": round(recovery_s, 2),
+        "stream_sustained_eps": round(stream_eps, 1) if stream_eps is not None else None,
+        "stream_p95_latency_ms": round(stream_p95, 1) if stream_p95 is not None else None,
+        "recovery_s": round(recovery_s, 2) if recovery_s is not None else None,
         "baseline_throughput_eps": 6914.7,
         "baseline_p95_latency_ms": 4704.0,
         "baseline_recovery_s": 47.0,

@@ -67,7 +67,7 @@ def register(name: str, category: str, oracle: str | None = None):
     return deco
 
 
-_HASH_CACHE: dict[tuple[int, str | None], str] = {}
+_HASH_CACHE: dict[tuple[str, str, str | None], str] = {}
 
 
 def content_hash(spec: QuerySpec) -> str:
@@ -80,7 +80,10 @@ def content_hash(spec: QuerySpec) -> str:
     body or oracle rewrite resets the query to never-green and it re-enters
     the driver budget first.
     """
-    key = (id(spec.fn), spec.oracle)
+    # Keyed on stable identity, NOT id(fn): a CPython id can be reused after
+    # the original function object is GC'd, which would return a stale hash
+    # for a different function.
+    key = (spec.fn.__module__, spec.fn.__qualname__, spec.oracle)
     cached = _HASH_CACHE.get(key)
     if cached is not None:
         return cached
@@ -102,9 +105,15 @@ def content_hash(spec: QuerySpec) -> str:
         normalized = ast.dump(tree)
     except (OSError, TypeError, SyntaxError):
         # source unavailable (exec'd / C-level): fall back to bytecode +
-        # non-docstring constants — still resets on real behavior changes
+        # constants — still resets on real behavior changes.  Only the
+        # docstring constant is dropped: stripping ALL strings would let a
+        # behavior change to a string literal (e.g. a column name) keep a
+        # stale green stamp.
         code = spec.fn.__code__
-        consts = tuple(c for c in code.co_consts if not isinstance(c, str))
+        doc = spec.fn.__doc__
+        consts = tuple(
+            c for c in code.co_consts if not (isinstance(c, str) and c == doc)
+        )
         normalized = repr((code.co_code, consts, code.co_names))
     digest = hashlib.md5(
         (normalized + "\x00" + (spec.oracle or "")).encode()
@@ -252,16 +261,43 @@ def stamp_green_hashes() -> dict[str, dict]:
     return ledger
 
 
+# Coverage-policy pins (VERDICT r7 item 5): queries the next driver budget
+# MUST re-verify even though they are not the stalest.  These four stream
+# queries execute their pipeline on plan-build, so PLAN_AUDIT excludes them
+# (documented) — driver re-verification is their only end-to-end re-check,
+# and being streaming-slow they must not slip out of the 50-query budget two
+# rounds running.  Pinned queries sort immediately AFTER never-green ones
+# and before all stale-green rotation.  Curated per round: clear a pin once
+# its CORRECTNESS row lands (it is then the freshest green and rotation
+# handles it again).
+ROTATION_PINS: frozenset[str] = frozenset(
+    {
+        "stream_stateful_running_count",
+        "stream_python_datasource_source",
+        "stream_stream_left_outer_join",
+        "stream_foreachbatch_merge_upsert",
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Name -> spec for every registered query (imports operator modules).
 
     Ordered for driver verification rotation: never-green queries first (in
-    registration order), then green queries stalest-verification-first.
+    registration order), then ROTATION_PINS, then green queries
+    stalest-verification-first.
     """
     _load_all()
     last_green = _last_green_round()
     reg_index = {name: i for i, name in enumerate(_REGISTRY)}
-    ordered = sorted(_REGISTRY, key=lambda n: (last_green.get(n, -1), reg_index[n]))
+
+    def key(n: str):
+        rnd = last_green.get(n, -1)
+        if rnd >= 0 and n in ROTATION_PINS:
+            rnd = 0  # after never-green (-1), before every real round (>=1)
+        return (rnd, reg_index[n])
+
+    ordered = sorted(_REGISTRY, key=key)
     return {name: _REGISTRY[name] for name in ordered}
 
 

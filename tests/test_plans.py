@@ -449,6 +449,41 @@ def test_green_hash_ledger_attests_current_code():
     assert not orphans, f"ledger entries for unregistered queries: {sorted(orphans)}"
 
 
+def test_rotation_pins_sort_after_never_green_before_stale(monkeypatch):
+    """ROTATION_PINS (VERDICT r7 item 5): pinned green queries must enter
+    the driver budget ahead of all stale-green rotation but never displace a
+    never-green query, and every pin must name a registered query."""
+    from kafka_spark_streaming_eval_spark.plans import registry
+
+    names = list(registry.all_queries())
+    green = registry._last_green_round()
+    assert registry.ROTATION_PINS <= set(names), "pin for unregistered query"
+    pinned_green = [n for n in registry.ROTATION_PINS if n in green]
+    if pinned_green:
+        first_unpinned_green = min(
+            names.index(n)
+            for n in names
+            if n in green and n not in registry.ROTATION_PINS
+        )
+        assert all(names.index(n) < first_unpinned_green for n in pinned_green)
+        # and never before a never-green query
+        last_never = max(
+            (names.index(n) for n in names if n not in green), default=-1
+        )
+        assert all(names.index(n) > last_never for n in pinned_green)
+    # with a pin hash-reset to never-green, it still sorts by registration
+    victim = sorted(registry.ROTATION_PINS)[0]
+    if victim in green:
+        fake = dict(registry._green_hash_ledger())
+        fake[victim] = {"hash": "0" * 32, "round": green[victim]}
+        monkeypatch.setattr(registry, "_green_hash_ledger", lambda: fake)
+        names2 = list(registry.all_queries())
+        green2 = registry._last_green_round()
+        assert victim not in green2
+        first_green2 = next(i for i, n in enumerate(names2) if n in green2)
+        assert names2.index(victim) < first_green2
+
+
 def test_rotation_order_never_green_first():
     """The driver's per-round budget covers a PREFIX of queries(), so the
     ordering IS the coverage policy: every query without a green
