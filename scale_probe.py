@@ -48,6 +48,11 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ID_SHIFT = 10_000_000  # multiple of every doc_id % residue the ops use
 KEY_SHIFT = 1_000_000  # > max orderkey at sf0.1 (149,999)
 
+# One id per probe process: sec_base and sec_x are measured in the same
+# JVM/session by construction, and the emitted JSON carries this tag so
+# SCALE.md rows can attest that no growth ratio mixes sessions.
+_SESSION_ID = f"probe-{os.getpid()}-{os.urandom(4).hex()}"
+
 HEAVY_OPS = [
     "dedup_minhash_lsh_pairs",
     "dedup_cluster_components",
@@ -59,59 +64,125 @@ HEAVY_OPS = [
     "pipeline_dsir_importance",
 ]
 
-# per-op primary input table (for the rows_base/rows_x columns)
+# per-op REQUIRED replicated tables; the first is the primary input (used
+# for the rows_base/rows_x columns).  An op must list EVERY fact table it
+# joins at scale: graph_pagerank_trade inner-joins lineitem with orders on
+# l_orderkey = o_orderkey, so replicating lineitem without orders would
+# leave every k>0 replica's shifted orderkeys dangling — the Nx rung would
+# then measure a join probe over dead rows and report bogus growth ratios.
 OP_TABLE = {
-    "dedup_minhash_lsh_pairs": "documents",
-    "dedup_cluster_components": "documents",
-    "text_contamination_matrix": "documents",
-    "graph_pagerank_trade": "lineitem",
-    "sim_semantic_dedup": "embeddings",
-    "dedup_cdc_chunks": "documents",
-    "stream_incremental_contamination": "documents",
-    "pipeline_dsir_importance": "documents",
+    "dedup_minhash_lsh_pairs": ("documents",),
+    "dedup_cluster_components": ("documents",),
+    "text_contamination_matrix": ("documents",),
+    "graph_pagerank_trade": ("lineitem", "orders"),
+    "sim_semantic_dedup": ("embeddings",),
+    "dedup_cdc_chunks": ("documents",),
+    "stream_incremental_contamination": ("documents",),
+    "pipeline_dsir_importance": ("documents",),
 }
 
 
-def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> None:
-    """Write the Nx corpus (idempotent: skips when already complete).
+_ALL_FACTS = frozenset({"documents", "embeddings", "lineitem", "orders"})
 
-    The completion marker fingerprints the BASE corpus (path + documents
-    row count), not just the factor — otherwise a later run with a
-    different SPARK_GRAFT_SF_DIR would silently reuse a synth corpus
-    derived from the WRONG base and report bogus growth ratios.
 
-    ``tables`` restricts which FACT tables get replicated (an --ops run
-    that only touches documents must not pay a 60M-row lineitem build at
-    factor 100); dimensions always carry over, and the marker records the
-    replicated set so a later run needing MORE tables rebuilds."""
+def _marker_path(out_dir: str, factor: int) -> str:
+    """One marker per (factor, base corpus); its CONTENT records which fact
+    tables are replicated, so table-set changes never change the filename
+    (the r7 scheme put the set in the fingerprint, which made a new-style
+    full build unrecognizable to a later subset run — the subset run then
+    rmtree'd the complete corpus, and alternating --ops runs thrashed the
+    expensive 100x build)."""
     import hashlib
 
-    tables = tables if tables is not None else {"documents", "embeddings", "lineitem", "orders"}
     base_rows = pq.ParquetFile(
         os.path.join(BASE, "documents.parquet")
     ).metadata.num_rows
-    fp = hashlib.md5(
-        f"{os.path.abspath(BASE)}:{base_rows}:{','.join(sorted(tables))}".encode()
-    ).hexdigest()[:8]
-    marker = os.path.join(out_dir, f".complete_f{factor}_{fp}")
-    # legacy (pre---ops) markers carry no table set and attest a FULL build,
-    # which satisfies any subset — don't throw away an r6 corpus
-    legacy_fp = hashlib.md5(
-        f"{os.path.abspath(BASE)}:{base_rows}".encode()
-    ).hexdigest()[:8]
-    legacy = os.path.join(out_dir, f".complete_f{factor}_{legacy_fp}")
-    if os.path.exists(marker) or os.path.exists(legacy):
-        return
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    fp = hashlib.md5(f"{os.path.abspath(BASE)}:{base_rows}".encode()).hexdigest()[:8]
+    return os.path.join(out_dir, f".complete_f{factor}_{fp}")
 
-    # documents: token-remapped replicas
-    if "documents" in tables:
+
+def _marker_tables(out_dir: str, factor: int) -> set[str] | None:
+    """The fact tables an existing completion marker attests, or None.
+
+    Only markers whose filename fingerprint matches the CURRENT base corpus
+    count — a corpus synthesized from a different SPARK_GRAFT_SF_DIR must
+    never be reused.  Three marker vintages are recognized:
+
+    - current: base-fingerprinted name, JSON content {"tables": [...]};
+    - legacy pre---ops: base-fingerprinted name, content "ok" → full build;
+    - r7: name fingerprints base AND table set (enumerated over all subsets
+      of _ALL_FACTS), content "ok" → attests exactly that set.
+    """
+    import hashlib
+    import itertools
+
+    base_rows = pq.ParquetFile(
+        os.path.join(BASE, "documents.parquet")
+    ).metadata.num_rows
+    prefix = f"{os.path.abspath(BASE)}:{base_rows}"
+
+    def _fp(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()[:8]
+
+    path = os.path.join(out_dir, f".complete_f{factor}_{_fp(prefix)}")
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                content = f.read()
+        except OSError:
+            return None
+        try:
+            tables = json.loads(content).get("tables")
+            if isinstance(tables, list):
+                return set(tables)
+        except ValueError:
+            pass
+        return set(_ALL_FACTS)  # legacy pre---ops marker: full build
+    for r in range(1, len(_ALL_FACTS) + 1):
+        for combo in itertools.combinations(sorted(_ALL_FACTS), r):
+            combo_fp = _fp(prefix + ":" + ",".join(combo))
+            if os.path.exists(
+                os.path.join(out_dir, f".complete_f{factor}_{combo_fp}")
+            ):
+                return set(combo)
+    return None
+
+
+def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> None:
+    """Write the Nx corpus (idempotent and INCREMENTAL).
+
+    The completion marker fingerprints the BASE corpus (path + documents
+    row count) — a later run with a different SPARK_GRAFT_SF_DIR must not
+    silently reuse a synth corpus derived from the WRONG base.  The marker's
+    content records the replicated fact-table set:
+
+    - requested set ⊆ recorded set → corpus complete, return;
+    - otherwise build ONLY the missing fact tables into the existing dir
+      and re-stamp the marker with the union (no rmtree: alternating --ops
+      runs must not thrash the expensive 100x build);
+    - no marker at all → the dir is unattested/partial: full rebuild.
+
+    ``tables`` restricts which FACT tables get replicated (an --ops run
+    that only touches documents must not pay a 60M-row lineitem build at
+    factor 100); dimensions always carry over unchanged."""
+    tables = set(tables) if tables is not None else set(_ALL_FACTS)
+    have = _marker_tables(out_dir, factor)
+    if have is not None and tables <= have:
+        return
+    if have is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir)
+        missing = set(tables)
+    else:
+        missing = tables - have
+        # the missing facts currently exist as 1x carry-over copies; the
+        # builders below overwrite them with replicated versions
+    if "documents" in missing:
         _build_documents(out_dir, factor)
-    if "embeddings" in tables:
+    if "embeddings" in missing:
         _build_embeddings(out_dir, factor)
-    if tables & {"lineitem", "orders"}:
-        _build_facts(out_dir, factor, tables)
+    if missing & {"lineitem", "orders"}:
+        _build_facts(out_dir, factor, missing)
     # dimensions + events + any non-replicated fact: carried over unchanged
     for name in (
         "region", "nation", "customer", "supplier", "part", "events",
@@ -120,8 +191,13 @@ def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> No
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(os.path.join(BASE, f"{name}.parquet"), dst)
-    with open(marker, "w") as f:
-        f.write("ok")
+    # drop superseded markers (legacy filenames), then stamp the union
+    import glob as _glob
+
+    for old in _glob.glob(os.path.join(out_dir, f".complete_f{factor}_*")):
+        os.remove(old)
+    with open(_marker_path(out_dir, factor), "w") as f:
+        json.dump({"tables": sorted(tables | (have or set()))}, f)
 
 
 def _build_documents(out_dir: str, factor: int) -> None:
@@ -218,7 +294,7 @@ def main() -> None:
 
     synth = f"/tmp/sgraft_scaleprobe_f{factor}"
     t0 = time.perf_counter()
-    build_synth(synth, factor, tables={OP_TABLE[o] for o in ops})
+    build_synth(synth, factor, tables={t for o in ops for t in OP_TABLE[o]})
     build_s = time.perf_counter() - t0
 
     from kafka_spark_streaming_eval_spark.plans.registry import all_queries
@@ -231,7 +307,7 @@ def main() -> None:
             pq.ParquetFile(os.path.join(BASE, f"{t}.parquet")).metadata.num_rows,
             pq.ParquetFile(os.path.join(synth, f"{t}.parquet")).metadata.num_rows,
         )
-        for t in set(OP_TABLE.values())
+        for t in {OP_TABLE[o][0] for o in ops}
     }
 
     # warm-up excluded from measurement (JVM/JIT/page cache)
@@ -246,7 +322,7 @@ def main() -> None:
         best_x = min(
             _timed(fn, spark, synth) for _ in range(runs)
         )
-        rb, rx = rows[OP_TABLE[name]]
+        rb, rx = rows[OP_TABLE[name][0]]
         report[name] = {
             "rows_base": rb,
             "rows_x": rx,
@@ -254,18 +330,25 @@ def main() -> None:
             "sec_x": round(best_x, 3),
             "time_growth": round(best_x / best_b, 2) if best_b else None,
         }
-    print(
-        json.dumps(
-            {
-                "metric": "scale_probe",
-                "factor": factor,
-                "base": BASE,
-                "synth_build_s": round(build_s, 1),
-                "ops": report,
-            }
-        )
-    )
+    print(json.dumps(probe_payload(factor, build_s, report)))
     spark.stop()
+
+
+def probe_payload(factor: int, build_s: float, report: dict) -> dict:
+    """The emitted probe JSON.  Schema contract (VERDICT r7 item 7): it
+    MUST carry ``session_id`` — every time_growth divides a sec_x by a
+    sec_base measured in THIS process/JVM, and SCALE.md rung rows cite the
+    id so no ratio can silently mix sessions (the r6 DSIR "rising per-row
+    cost" artifact came from dividing rungs by bases from different
+    sessions)."""
+    return {
+        "metric": "scale_probe",
+        "factor": factor,
+        "base": BASE,
+        "synth_build_s": round(build_s, 1),
+        "session_id": _SESSION_ID,
+        "ops": report,
+    }
 
 
 def _timed(fn, spark, sf_dir) -> float:

@@ -211,3 +211,36 @@ def test_stream_payload_ok_rejects_catchup_throughput():
         "recovery_s": 0.67,
     }
     assert bench.stream_payload_ok(steady, rate_eps=50_000)
+
+
+def test_stream_payload_ok_rejects_none_values():
+    """The in-process fallback now records nulls when its own triple fails
+    the plausibility gate (ADVICE r7) — the gate itself must treat a
+    null-bearing payload as invalid rather than crash."""
+    assert not bench.stream_payload_ok(
+        {"stream_sustained_eps": None, "stream_p95_latency_ms": None, "recovery_s": None}
+    )
+
+
+def test_budget_stdout_payload_serializes_null_stream_fields():
+    """An invalid fallback records stream nulls + isolation
+    'in-process-invalid'; the stdout budgeting must pass them through as
+    JSON nulls so the driver sees an honest gap, not a crash or a sentinel."""
+    full = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q": 1.0},
+        "tier2_queries": {},
+        "sf": 0.1,
+        "stream_isolation": "in-process-invalid",
+        "stream_sustained_eps": None,
+        "stream_p95_latency_ms": None,
+        "recovery_s": None,
+    }
+    import json
+
+    slim = bench.budget_stdout_payload(full)
+    line = json.dumps(slim)
+    assert json.loads(line)["stream_sustained_eps"] is None
+    assert json.loads(line)["stream_isolation"] == "in-process-invalid"
