@@ -324,17 +324,53 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     # several x larger).  Startup/backlog transients are not part of
     # BASELINE exp1's sustained-throughput definition (it excluded 120 s
     # of a 360 s run as warm-up), so gating here is methodology-faithful.
+    # SPARK_GRAFT_STREAM_DEBUG=1: narrate the gate timeline to stderr — the
+    # cold-start/adverse-load rehearsal evidence (VERDICT r7 item 4) needs to
+    # show WHEN the gate engaged and what batch sizes it rejected as backlog.
+    debug = os.environ.get("SPARK_GRAFT_STREAM_DEBUG") == "1"
+    t_start = time.time()
     steady_from = None
+    seen = 0
     start_deadline = time.time() + 90
     while time.time() < start_deadline:
         rows_now = list(sink.rows)
+        if debug and len(rows_now) > seen:
+            for r in rows_now[seen:]:
+                print(
+                    f"stream-gate: +{time.time() - t_start:5.1f}s batch "
+                    f"events={r.batch_events}"
+                    + (
+                        " [backlog/startup, gated out]"
+                        if not 0 < r.batch_events <= 1.5 * rate_eps
+                        else " [steady]"
+                    ),
+                    file=sys.stderr,
+                    flush=True,
+                )
+            seen = len(rows_now)
         if rows_now and 0 < rows_now[-1].batch_events <= 1.5 * rate_eps:
             # -1: the batch that satisfied the gate IS the first steady batch
             # and must stay in the pool (the rows[3:] warm-up trim below
             # already shortens a ~20-batch window; don't lose another one).
             steady_from = len(rows_now) - 1
+            if debug:
+                print(
+                    f"stream-gate: ENGAGED at +{time.time() - t_start:.1f}s "
+                    f"after {steady_from} gated batches; measurement window "
+                    f"opens on batch {steady_from + 1} "
+                    f"(events={rows_now[-1].batch_events})",
+                    file=sys.stderr,
+                    flush=True,
+                )
             break
         time.sleep(0.25)
+    if debug and steady_from is None:
+        print(
+            "stream-gate: NOT engaged within 90s — payload will be "
+            "sentinel-shaped and must be rejected by stream_payload_ok",
+            file=sys.stderr,
+            flush=True,
+        )
     time.sleep(run_s)
     query.stop()
     query.awaitTermination()
