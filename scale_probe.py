@@ -145,6 +145,28 @@ def _marker_tables(out_dir: str, factor: int) -> set[str] | None:
                 os.path.join(out_dir, f".complete_f{factor}_{combo_fp}")
             ):
                 return set(combo)
+    # oldest vintage: bare ``.complete_f{factor}`` with no fingerprint at
+    # all (the r6 full builds under /tmp).  It can't attest WHICH base it
+    # came from, so verify against ground truth instead: a fact table
+    # counts as replicated iff its row count is exactly factor x the
+    # current base's — a corpus built from a different base fails this and
+    # rebuilds as needed.
+    if os.path.exists(os.path.join(out_dir, f".complete_f{factor}")):
+        attested = set()
+        for t in _ALL_FACTS:
+            try:
+                n_out = pq.ParquetFile(
+                    os.path.join(out_dir, f"{t}.parquet")
+                ).metadata.num_rows
+                n_base = pq.ParquetFile(
+                    os.path.join(BASE, f"{t}.parquet")
+                ).metadata.num_rows
+            except (OSError, pa.ArrowInvalid):
+                continue
+            if n_out == factor * n_base:
+                attested.add(t)
+        if attested:
+            return attested
     return None
 
 

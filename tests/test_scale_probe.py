@@ -135,6 +135,25 @@ def test_marker_vintages_and_wrong_base_rejected(small_base, tmp_path):
     assert scale_probe._marker_tables(out, 7) is None
 
 
+def test_bare_legacy_marker_attested_by_row_counts(small_base, tmp_path):
+    """The oldest marker vintage (bare .complete_f{N}, no fingerprint) can't
+    name its base corpus, so attestation falls back to ground truth: a fact
+    table counts as replicated iff its rows == N x the current base's."""
+    out = str(tmp_path / "synth")
+    scale_probe.build_synth(out, factor=2, tables={"documents"})
+    # swap the JSON marker for a bare legacy one
+    for m in os.listdir(out):
+        if m.startswith(".complete"):
+            os.remove(os.path.join(out, m))
+    with open(os.path.join(out, ".complete_f2"), "w") as f:
+        f.write("ok")
+    assert scale_probe._marker_tables(out, 2) == {"documents"}
+    # a satisfied subset run must not rebuild
+    mtime = os.path.getmtime(os.path.join(out, "documents.parquet"))
+    scale_probe.build_synth(out, factor=2, tables={"documents"})
+    assert os.path.getmtime(os.path.join(out, "documents.parquet")) == mtime
+
+
 def test_probe_payload_carries_session_id():
     """VERDICT r7 item 7: the probe JSON schema must tag which session
     measured the rungs so SCALE.md ratios can be attested same-session."""
