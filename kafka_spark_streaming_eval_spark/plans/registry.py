@@ -261,30 +261,29 @@ def stamp_green_hashes() -> dict[str, dict]:
     return ledger
 
 
-# Coverage-policy pins (VERDICT r7 item 5): queries the next driver budget
-# MUST re-verify even though they are not the stalest.  These four stream
-# queries execute their pipeline on plan-build, so PLAN_AUDIT excludes them
-# (documented) — driver re-verification is their only end-to-end re-check,
-# and being streaming-slow they must not slip out of the 50-query budget two
-# rounds running.  Pinned queries sort immediately AFTER never-green ones
-# and before all stale-green rotation.  Curated per round: clear a pin once
-# its CORRECTNESS row lands (it is then the freshest green and rotation
-# handles it again).
-ROTATION_PINS: frozenset[str] = frozenset(
-    {
-        "stream_stateful_running_count",
-        "stream_python_datasource_source",
-        "stream_stream_left_outer_join",
-        "stream_foreachbatch_merge_upsert",
-    }
-)
+# Coverage-policy pins (VERDICT r7 item 5): name -> round by which the
+# driver must have re-verified the query.  A pin is ACTIVE while the query's
+# last green round is below that target; active pins sort immediately AFTER
+# never-green queries and before all stale-green rotation, then self-clear
+# once the demanded CORRECTNESS row lands (no per-round curation, no wasted
+# budget slots afterwards).  These four stream queries execute their
+# pipeline on plan-build, so PLAN_AUDIT excludes them (documented) — driver
+# re-verification is their only end-to-end re-check, and being
+# streaming-slow they must not slip out of the 50-query budget two rounds
+# running: demand a green check in round >= 8.
+ROTATION_PINS: dict[str, int] = {
+    "stream_stateful_running_count": 8,
+    "stream_python_datasource_source": 8,
+    "stream_stream_left_outer_join": 8,
+    "stream_foreachbatch_merge_upsert": 8,
+}
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Name -> spec for every registered query (imports operator modules).
 
     Ordered for driver verification rotation: never-green queries first (in
-    registration order), then ROTATION_PINS, then green queries
+    registration order), then active ROTATION_PINS, then green queries
     stalest-verification-first.
     """
     _load_all()
@@ -293,7 +292,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     def key(n: str):
         rnd = last_green.get(n, -1)
-        if rnd >= 0 and n in ROTATION_PINS:
+        if 0 <= rnd < ROTATION_PINS.get(n, 0):
             rnd = 0  # after never-green (-1), before every real round (>=1)
         return (rnd, reg_index[n])
 
