@@ -151,6 +151,18 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             F.floor(F.col("rank") * F.col("f") * F.lit(1.0e15)).alias("cb_i"),
         )
+        if loop_parts < sess_parts:
+            # Tiny-state loop: pin the per-iteration exchange to loop_parts
+            # with an EXPLICIT keyed repartition — the aggregate below reuses
+            # that partitioning (ClusteredDistribution satisfied), so no
+            # session-sized shuffle is planned.  Without this, every one of
+            # the {PR_ITERS} groupBys starts at AQE's initialPartitionNum
+            # (8x parallelism since r7) and pays 15x the coalesce/launch
+            # overhead to move ~650 rows (A/B-measured +8-13% wall at
+            # sf0.1).  At large n, loop_parts == sess_parts and the normal
+            # partial-agg + adaptive exchange path is kept — map-side
+            # combine matters when in-degree is high.
+            contrib = contrib.repartition(loop_parts, "node")
         ranks = contrib.groupBy("node").agg(
             (
                 F.lit(0.15) / n
