@@ -262,10 +262,15 @@ def stream_payload_ok(payload: dict, rate_eps: float | None = None) -> bool:
       that is real work but NOT sustained steady-state ingest, so with
       ``rate_eps`` given, sustained must be <= 1.5x the input rate.
     Either shape parses as valid JSON, so without this check it would be
-    recorded as the round's headline streaming numbers.  Bad payloads
-    trigger a retry, then the in-process fallback."""
+    recorded as the round's headline streaming numbers.  A third shape
+    (r8): a degraded window with <5 measured batches — too short for a
+    stable mean p95 and rate estimate (the methodology documents a ~17
+    batch window).  Bad payloads trigger a retry, then the in-process
+    fallback."""
     try:
         sustained = float(payload["stream_sustained_eps"])
+        if "stream_batches" in payload and int(payload["stream_batches"]) < 5:
+            return False
         return (
             sustained > 0
             and (rate_eps is None or sustained <= 1.5 * rate_eps)
@@ -381,8 +386,20 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
         pool = pool[steady_from:]
     rows = [r for r in pool if r.batch_events > 0]
     measured = rows[3:] if len(rows) > 4 else rows
-    span_s = max(measured[-1].epoch_sec - measured[0].epoch_sec, 1) if measured else 1
-    sustained = sum(r.batch_events for r in measured) / span_s if measured else 0.0
+    n_batches = len(measured)
+    # N batches carry N trigger intervals of events, but first-to-last
+    # timestamps span only N-1 intervals — divide by span alone and a short
+    # window inflates eps by N/(N-1).  r8 run-1 recorded EXACTLY 75,000 eps
+    # at 50k input from a 3-batch window (the 1.5x gate boundary, = 3/2 x
+    # 50k): real span bias, not real throughput.  Scale the denominator to
+    # N/(N-1); a 1-batch window has no measurable rate at all.
+    if n_batches >= 2:
+        span_s = max(measured[-1].epoch_sec - measured[0].epoch_sec, 1)
+        sustained = sum(r.batch_events for r in measured) * (n_batches - 1) / (
+            span_s * n_batches
+        )
+    else:
+        sustained = 0.0
     p95 = (
         sum(r.p95_latency_ms for r in measured) / len(measured) if measured else -1.0
     )
@@ -403,7 +420,7 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     query2.stop()
     query2.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return sustained, p95, recovery_s
+    return sustained, p95, recovery_s, n_batches
 
 
 def main() -> None:
@@ -466,6 +483,7 @@ def main() -> None:
     # "in-process" (the ~30%-worse fallback) — so a silently failed
     # subprocess can never masquerade as the documented methodology.
     stream_eps = stream_p95 = recovery_s = None
+    stream_batches = None
     stream_isolation = "subprocess"
     import subprocess
 
@@ -484,6 +502,7 @@ def main() -> None:
             stream_eps = payload["stream_sustained_eps"]
             stream_p95 = payload["stream_p95_latency_ms"]
             recovery_s = payload["recovery_s"]
+            stream_batches = payload.get("stream_batches")
             break
         except Exception as exc:
             print(
@@ -502,7 +521,7 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2.0)
-        stream_eps, stream_p95, recovery_s = streaming_live(spark)
+        stream_eps, stream_p95, recovery_s, stream_batches = streaming_live(spark)
         # The fallback triple gets the SAME plausibility gate as the
         # subprocess path: a starved/backlogged in-process run can produce
         # the identical sentinel / catch-up shapes (the r7 incident), and
@@ -511,6 +530,7 @@ def main() -> None:
             "stream_sustained_eps": stream_eps,
             "stream_p95_latency_ms": stream_p95,
             "recovery_s": recovery_s,
+            "stream_batches": stream_batches,
         }
         if not stream_payload_ok(fallback_payload, rate_eps=50_000):
             print(
@@ -539,6 +559,7 @@ def main() -> None:
         "stream_sustained_eps": round(stream_eps, 1) if stream_eps is not None else None,
         "stream_p95_latency_ms": round(stream_p95, 1) if stream_p95 is not None else None,
         "recovery_s": round(recovery_s, 2) if recovery_s is not None else None,
+        "stream_batches": stream_batches,
         "baseline_throughput_eps": 6914.7,
         "baseline_p95_latency_ms": 4704.0,
         "baseline_recovery_s": 47.0,
@@ -561,13 +582,14 @@ def stream_only() -> None:
     with the three exp1/exp3 numbers for the parent bench to absorb."""
     _pin_heap()
     spark = get_spark("bench-stream")
-    sustained, p95, recovery = streaming_live(spark)
+    sustained, p95, recovery, n_batches = streaming_live(spark)
     print(
         json.dumps(
             {
                 "stream_sustained_eps": round(sustained, 1),
                 "stream_p95_latency_ms": round(p95, 1),
                 "recovery_s": round(recovery, 2),
+                "stream_batches": n_batches,
             }
         )
     )

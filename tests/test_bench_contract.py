@@ -213,6 +213,22 @@ def test_stream_payload_ok_rejects_catchup_throughput():
     assert bench.stream_payload_ok(steady, rate_eps=50_000)
 
 
+def test_stream_payload_ok_rejects_short_windows():
+    """r8 run-1 artifact: a 3-batch window's rate estimate is biased by
+    N/(N-1) (recorded exactly 75,000 eps at 50k input — the gate boundary).
+    Payloads carrying stream_batches < 5 are rejected; payloads without the
+    field (older shape) are judged on the other criteria alone."""
+    base = {
+        "stream_sustained_eps": 52000.0,
+        "stream_p95_latency_ms": 1300.0,
+        "recovery_s": 0.7,
+    }
+    assert bench.stream_payload_ok(base, rate_eps=50_000)
+    assert bench.stream_payload_ok({**base, "stream_batches": 14}, rate_eps=50_000)
+    assert not bench.stream_payload_ok({**base, "stream_batches": 3}, rate_eps=50_000)
+    assert not bench.stream_payload_ok({**base, "stream_batches": 0})
+
+
 def test_stream_payload_ok_rejects_none_values():
     """The in-process fallback now records nulls when its own triple fails
     the plausibility gate (ADVICE r7) — the gate itself must treat a
