@@ -450,6 +450,7 @@ q.awaitTermination()
             frames.append(pd.read_csv(f))  # reference's read_rate_folder
         except (OSError, ValueError):
             pass
+    frames = [f for f in frames if not f.empty]  # empty-frame concat warns
     committed = pd.concat(frames, ignore_index=True)
     c_events = int(committed["batch_events"].sum())
     c_max_batch = int(committed["batch_id"].max())
