@@ -198,10 +198,12 @@ def budget_stdout_payload(full: dict, limit: int = STDOUT_BUDGET) -> dict:
     per-query timings (slowest first) as fit in ``limit`` serialized chars.
     ``queries_n``/``queries_omitted`` make the truncation explicit and
     ``queries_full`` names the sidecar carrying the rest."""
+    # stream_gate is a nested provenance artifact (gate timeline) — sidecar
+    # only, never the budgeted stdout line.
     slim = {
         k: v
         for k, v in full.items()
-        if k not in ("queries", "tier2_queries", "tier2_policy")
+        if k not in ("queries", "tier2_queries", "tier2_policy", "stream_gate")
     }
     all_q = dict(full.get("queries", {}))
     slim["queries"] = {}
@@ -336,28 +338,44 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     t_start = time.time()
     steady_from = None
     seen = 0
+    # Compact gate provenance, recorded UNCONDITIONALLY (VERDICT r8 item 7):
+    # every committed streaming number carries the evidence of when its
+    # measurement window opened and what batch sizes were rejected as
+    # startup backlog.  Shipped in BENCH_DETAILS.json as "stream_gate".
+    gate_timeline: list[list] = []  # [offset_s, batch_events] per observed batch
+    gate: dict = {"engaged": False, "engage_offset_s": None, "gated_batches": None}
     start_deadline = time.time() + 90
     while time.time() < start_deadline:
         rows_now = list(sink.rows)
-        if debug and len(rows_now) > seen:
+        if len(rows_now) > seen:
             for r in rows_now[seen:]:
-                print(
-                    f"stream-gate: +{time.time() - t_start:5.1f}s batch "
-                    f"events={r.batch_events}"
-                    + (
-                        " [backlog/startup, gated out]"
-                        if not 0 < r.batch_events <= 1.5 * rate_eps
-                        else " [steady]"
-                    ),
-                    file=sys.stderr,
-                    flush=True,
-                )
+                if len(gate_timeline) < 40:  # bound the artifact
+                    gate_timeline.append(
+                        [round(time.time() - t_start, 1), int(r.batch_events)]
+                    )
+                if debug:
+                    print(
+                        f"stream-gate: +{time.time() - t_start:5.1f}s batch "
+                        f"events={r.batch_events}"
+                        + (
+                            " [backlog/startup, gated out]"
+                            if not 0 < r.batch_events <= 1.5 * rate_eps
+                            else " [steady]"
+                        ),
+                        file=sys.stderr,
+                        flush=True,
+                    )
             seen = len(rows_now)
         if rows_now and 0 < rows_now[-1].batch_events <= 1.5 * rate_eps:
             # -1: the batch that satisfied the gate IS the first steady batch
             # and must stay in the pool (the rows[3:] warm-up trim below
             # already shortens a ~20-batch window; don't lose another one).
             steady_from = len(rows_now) - 1
+            gate.update(
+                engaged=True,
+                engage_offset_s=round(time.time() - t_start, 1),
+                gated_batches=steady_from,
+            )
             if debug:
                 print(
                     f"stream-gate: ENGAGED at +{time.time() - t_start:.1f}s "
@@ -393,10 +411,17 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     # at 50k input from a 3-batch window (the 1.5x gate boundary, = 3/2 x
     # 50k): real span bias, not real throughput.  Scale the denominator to
     # N/(N-1); a 1-batch window has no measurable rate at all.
+    # The correction is per ELAPSED trigger interval, not per non-empty
+    # batch: a mid-window empty batch keeps its gap inside span_s while
+    # shrinking the non-empty count, so scaling by N/(N-1) over non-empty
+    # batches would no longer match the stated model.  batch ids count the
+    # actual intervals covered (= last_id - first_id + 1); with no empty
+    # batches this equals n_batches and the two forms agree exactly.
     if n_batches >= 2:
         span_s = max(measured[-1].epoch_sec - measured[0].epoch_sec, 1)
-        sustained = sum(r.batch_events for r in measured) * (n_batches - 1) / (
-            span_s * n_batches
+        intervals = int(measured[-1].batch_id - measured[0].batch_id) + 1
+        sustained = sum(r.batch_events for r in measured) * (intervals - 1) / (
+            span_s * intervals
         )
     else:
         sustained = 0.0
@@ -420,7 +445,9 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     query2.stop()
     query2.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
-    return sustained, p95, recovery_s, n_batches
+    gate["timeline"] = gate_timeline
+    gate["kept_batches"] = n_batches
+    return sustained, p95, recovery_s, n_batches, gate
 
 
 def main() -> None:
@@ -484,6 +511,7 @@ def main() -> None:
     # subprocess can never masquerade as the documented methodology.
     stream_eps = stream_p95 = recovery_s = None
     stream_batches = None
+    stream_gate = None
     stream_isolation = "subprocess"
     import subprocess
 
@@ -503,6 +531,7 @@ def main() -> None:
             stream_p95 = payload["stream_p95_latency_ms"]
             recovery_s = payload["recovery_s"]
             stream_batches = payload.get("stream_batches")
+            stream_gate = payload.get("stream_gate")
             break
         except Exception as exc:
             print(
@@ -521,7 +550,9 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2.0)
-        stream_eps, stream_p95, recovery_s, stream_batches = streaming_live(spark)
+        stream_eps, stream_p95, recovery_s, stream_batches, stream_gate = (
+            streaming_live(spark)
+        )
         # The fallback triple gets the SAME plausibility gate as the
         # subprocess path: a starved/backlogged in-process run can produce
         # the identical sentinel / catch-up shapes (the r7 incident), and
@@ -560,6 +591,7 @@ def main() -> None:
         "stream_p95_latency_ms": round(stream_p95, 1) if stream_p95 is not None else None,
         "recovery_s": round(recovery_s, 2) if recovery_s is not None else None,
         "stream_batches": stream_batches,
+        "stream_gate": stream_gate,
         "baseline_throughput_eps": 6914.7,
         "baseline_p95_latency_ms": 4704.0,
         "baseline_recovery_s": 47.0,
@@ -582,7 +614,7 @@ def stream_only() -> None:
     with the three exp1/exp3 numbers for the parent bench to absorb."""
     _pin_heap()
     spark = get_spark("bench-stream")
-    sustained, p95, recovery, n_batches = streaming_live(spark)
+    sustained, p95, recovery, n_batches, gate = streaming_live(spark)
     print(
         json.dumps(
             {
@@ -590,6 +622,7 @@ def stream_only() -> None:
                 "stream_p95_latency_ms": round(p95, 1),
                 "recovery_s": round(recovery, 2),
                 "stream_batches": n_batches,
+                "stream_gate": gate,
             }
         )
     )

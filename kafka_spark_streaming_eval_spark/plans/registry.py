@@ -67,7 +67,7 @@ def register(name: str, category: str, oracle: str | None = None):
     return deco
 
 
-_HASH_CACHE: dict[tuple[str, str, str | None], str] = {}
+_HASH_CACHE: dict[tuple, str] = {}
 
 
 def content_hash(spec: QuerySpec) -> str:
@@ -82,8 +82,10 @@ def content_hash(spec: QuerySpec) -> str:
     """
     # Keyed on stable identity, NOT id(fn): a CPython id can be reused after
     # the original function object is GC'd, which would return a stale hash
-    # for a different function.
-    key = (spec.fn.__module__, spec.fn.__qualname__, spec.oracle)
+    # for a different function.  The code object rides along as a change
+    # detector: after importlib.reload with modified source, (module,
+    # qualname, oracle) alone would keep returning the pre-reload hash.
+    key = (spec.fn.__module__, spec.fn.__qualname__, spec.oracle, spec.fn.__code__)
     cached = _HASH_CACHE.get(key)
     if cached is not None:
         return cached

@@ -218,6 +218,12 @@ def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> No
 
     for old in _glob.glob(os.path.join(out_dir, f".complete_f{factor}_*")):
         os.remove(old)
+    # the unfingerprinted pre-r8 marker must die too: if it survived and the
+    # JSON marker later stopped matching, _marker_tables would fall through
+    # to it and its row-count check could attest a wrong-base corpus
+    bare = os.path.join(out_dir, f".complete_f{factor}")
+    if os.path.exists(bare):
+        os.remove(bare)
     with open(_marker_path(out_dir, factor), "w") as f:
         json.dump({"tables": sorted(tables | (have or set()))}, f)
 

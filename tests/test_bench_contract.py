@@ -95,6 +95,14 @@ def _fake_full_payload(n_queries: int) -> dict:
         "stream_sustained_eps": 53846.2,
         "stream_p95_latency_ms": 1747.6,
         "recovery_s": 0.68,
+        "stream_gate": {
+            "engaged": True,
+            "engage_offset_s": 7.9,
+            "gated_batches": 3,
+            "kept_batches": 18,
+            "timeline": [[6.2, 171850], [6.9, 148200], [7.4, 96400], [7.9, 50001]]
+            + [[7.9 + 0.5 * i, 50000] for i in range(18)],
+        },
         "baseline_throughput_eps": 6914.7,
         "baseline_p95_latency_ms": 4704.0,
         "baseline_recovery_s": 47.0,
@@ -126,6 +134,8 @@ def test_budget_stdout_line_fits_driver_tail_window():
     assert slim["queries_full"] == bench.DETAILS_FILE
     # the bulky maps never leak into the stdout line
     assert "tier2_queries" not in slim
+    # nested gate provenance stays in the sidecar (VERDICT r8 item 7)
+    assert "stream_gate" not in slim
 
 
 def test_budget_keeps_everything_when_small():

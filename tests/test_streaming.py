@@ -451,6 +451,7 @@ q.awaitTermination()
         except (OSError, ValueError):
             pass
     frames = [f for f in frames if not f.empty]  # empty-frame concat warns
+    assert frames, "no non-empty committed CSVs before the kill"
     committed = pd.concat(frames, ignore_index=True)
     c_events = int(committed["batch_events"].sum())
     c_max_batch = int(committed["batch_id"].max())
