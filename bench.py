@@ -171,6 +171,80 @@ def _last_benched_round() -> dict[str, int]:
     return last
 
 
+def _last_measured_secs(here: str | None = None) -> dict[str, float]:
+    """Per query, the timing from the LATEST round that measured it —
+    the vs-own-last-measured base for the sidecar's ``vs_last`` field
+    (VERDICT r9/r10 item 4: tier2_total swings 2x round-over-round from
+    rotation mix alone, so only a per-query delta against that query's own
+    previous measurement separates a real regression from cohort churn).
+
+    Reads the same three payload shapes as ``_last_benched_round``; for
+    the tail-window rounds the (name, sec) pairs are recovered by the same
+    regex (non-query scalar fields like "value"/"sf" are absorbed but can
+    never collide with a registered query name)."""
+    import glob
+    import re
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, tuple[int, float]] = {}  # name -> (round, sec)
+
+    def absorb(payload: dict, rnd: int) -> None:
+        for key in ("queries", "tier2_queries"):
+            for name, sec in (payload.get(key) or {}).items():
+                if isinstance(sec, (int, float)) and (
+                    name not in best or rnd >= best[name][0]
+                ):
+                    best[name] = (rnd, float(sec))
+
+    max_rnd = 0
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_rnd = max(max_rnd, rnd)
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(raw.get("parsed"), dict):
+            absorb(raw["parsed"], rnd)
+        elif "queries" in raw or "tier2_queries" in raw:
+            absorb(raw, rnd)
+        elif isinstance(raw.get("tail"), str):
+            for nm, val in re.findall(
+                r'"([a-z0-9_]+)":\s*(-?[0-9]+\.?[0-9]*)', raw["tail"]
+            ):
+                try:
+                    sec = float(val)
+                except ValueError:
+                    continue
+                if nm not in best or rnd >= best[nm][0]:
+                    best[nm] = (rnd, sec)
+    try:
+        with open(os.path.join(here, DETAILS_FILE)) as f:
+            absorb(json.load(f), max_rnd + 1)
+    except (OSError, ValueError):
+        pass
+    return {name: sec for name, (_, sec) in best.items()}
+
+
+def vs_last_fields(now: dict[str, float], last: dict[str, float]) -> dict:
+    """Sidecar ``vs_last``: for every query timed THIS run that has a prior
+    measurement, its own last-measured seconds and the percent delta —
+    computed from the RAW values, not the 2-dp roundings (ADVICE r10)."""
+    out = {}
+    for name, sec in now.items():
+        prev = last.get(name)
+        if prev and prev > 0:
+            out[name] = {
+                "last_s": round(prev, 4),
+                "delta_pct": round(100.0 * (sec - prev) / prev, 1),
+            }
+    return out
+
+
 def tier2_rotation(specs) -> list[str]:
     """The TIER2_COUNT non-headline queries to time this run: never-benched
     first (registration order), then stalest committed timing first."""
@@ -198,12 +272,13 @@ def budget_stdout_payload(full: dict, limit: int = STDOUT_BUDGET) -> dict:
     per-query timings (slowest first) as fit in ``limit`` serialized chars.
     ``queries_n``/``queries_omitted`` make the truncation explicit and
     ``queries_full`` names the sidecar carrying the rest."""
-    # stream_gate is a nested provenance artifact (gate timeline) — sidecar
-    # only, never the budgeted stdout line.
+    # stream_gate / vs_last are nested provenance artifacts — sidecar only,
+    # never the budgeted stdout line.
     slim = {
         k: v
         for k, v in full.items()
-        if k not in ("queries", "tier2_queries", "tier2_policy", "stream_gate")
+        if k not in ("queries", "tier2_queries", "tier2_policy", "stream_gate",
+                     "vs_last")
     }
     all_q = dict(full.get("queries", {}))
     slim["queries"] = {}
@@ -343,7 +418,15 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     # measurement window opened and what batch sizes were rejected as
     # startup backlog.  Shipped in BENCH_DETAILS.json as "stream_gate".
     gate_timeline: list[list] = []  # [offset_s, batch_events] per observed batch
-    gate: dict = {"engaged": False, "engage_offset_s": None, "gated_batches": None}
+    gate: dict = {
+        "engaged": False,
+        "engage_offset_s": None,
+        "gated_batches": None,
+        # flips to True if more batches were observed than the 40-entry
+        # timeline bound can record (ADVICE r9: silent truncation read as
+        # "this is every batch" when it wasn't)
+        "timeline_truncated": False,
+    }
     start_deadline = time.time() + 90
     while time.time() < start_deadline:
         rows_now = list(sink.rows)
@@ -353,6 +436,8 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
                     gate_timeline.append(
                         [round(time.time() - t_start, 1), int(r.batch_events)]
                     )
+                else:
+                    gate["timeline_truncated"] = True
                 if debug:
                     print(
                         f"stream-gate: +{time.time() - t_start:5.1f}s batch "
@@ -417,9 +502,28 @@ def streaming_live(spark, rate_eps: int = 50_000, run_s: float = 20.0):
     # batches would no longer match the stated model.  batch ids count the
     # actual intervals covered (= last_id - first_id + 1); with no empty
     # batches this equals n_batches and the two forms agree exactly.
+    # ASSUMPTION (cross-checked below, ADVICE r9): every batch-id step is
+    # one elapsed trigger interval — true for the rate source, which emits
+    # rows every second, so the engine never skips a data-less trigger and
+    # ids stay dense.  If a source COULD go data-less, skipped triggers
+    # would leave ids dense while span_s grows, id_intervals would
+    # undercount the elapsed intervals, and (intervals-1)/intervals would
+    # over-deflate.  The cross-check compares id-derived intervals against
+    # wall-clock-derived intervals (1 s trigger) and records the mismatch
+    # in the gate provenance instead of silently trusting the model.
     if n_batches >= 2:
         span_s = max(measured[-1].epoch_sec - measured[0].epoch_sec, 1)
         intervals = int(measured[-1].batch_id - measured[0].batch_id) + 1
+        elapsed_intervals = int(round(span_s)) + 1  # trigger_sec = 1
+        gate["span_check"] = {
+            "id_intervals": intervals,
+            "elapsed_intervals": elapsed_intervals,
+            # mismatch beyond rounding slack means the data-less-interval
+            # assumption did not hold for this run's source
+            "model_ok": abs(intervals - elapsed_intervals) <= max(
+                2, elapsed_intervals // 4
+            ),
+        }
         sustained = sum(r.batch_events for r in measured) * (intervals - 1) / (
             span_s * intervals
         )
@@ -572,6 +676,10 @@ def main() -> None:
             stream_eps = stream_p95 = recovery_s = None
             stream_isolation = "in-process-invalid"
     total = round(sum(timings.values()), 4)
+    # vs-own-last-measured deltas (read BEFORE this run's sidecar overwrite
+    # destroys the previous measurement): the round-over-round comparability
+    # field — tier2_total is a rotation-mix artifact; these are not.
+    last_measured = _last_measured_secs()
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -581,6 +689,7 @@ def main() -> None:
         "tier2_total": round(sum(tier2.values()), 4),
         "tier2_n": len(tier2),
         "tier2_policy": "stalest-first rotation over non-headline, runs=1",
+        "vs_last": vs_last_fields({**timings, **tier2}, last_measured),
         "sf": sf,
         "throughput_eps": round(eps, 1),
         "throughput_events": THROUGHPUT_EVENTS,

@@ -30,6 +30,7 @@ import json
 import os
 import re
 import textwrap
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -67,7 +68,15 @@ def register(name: str, category: str, oracle: str | None = None):
     return deco
 
 
-_HASH_CACHE: dict[tuple, str] = {}
+# (module, qualname, oracle) -> (weakref-to-__code__, digest).  One entry
+# per registered query NAME, replaced in place on importlib.reload — the
+# pre-r11 scheme put the __code__ object INSIDE the key, so every reload
+# appended a new entry and pinned every historical code object forever
+# (ADVICE r9/r10 finding).  The weakref keeps the change-detection property
+# (a live `ref() is fn.__code__` identity check can never alias a reused
+# CPython id) without pinning: a reloaded module's old code objects get
+# GC'd normally and their entries simply miss on the next lookup.
+_HASH_CACHE: dict[tuple, tuple] = {}
 
 
 def content_hash(spec: QuerySpec) -> str:
@@ -80,15 +89,15 @@ def content_hash(spec: QuerySpec) -> str:
     body or oracle rewrite resets the query to never-green and it re-enters
     the driver budget first.
     """
-    # Keyed on stable identity, NOT id(fn): a CPython id can be reused after
-    # the original function object is GC'd, which would return a stale hash
-    # for a different function.  The code object rides along as a change
-    # detector: after importlib.reload with modified source, (module,
-    # qualname, oracle) alone would keep returning the pre-reload hash.
-    key = (spec.fn.__module__, spec.fn.__qualname__, spec.oracle, spec.fn.__code__)
-    cached = _HASH_CACHE.get(key)
-    if cached is not None:
-        return cached
+    key = (spec.fn.__module__, spec.fn.__qualname__, spec.oracle)
+    hit = _HASH_CACHE.get(key)
+    if hit is not None:
+        code_ref, cached = hit
+        # identity check against the LIVE code object: after a reload the
+        # old code is GC'd (ref() -> None) or simply a different object,
+        # and either way we recompute instead of serving a stale digest
+        if code_ref() is spec.fn.__code__:
+            return cached
     try:
         src = textwrap.dedent(inspect.getsource(spec.fn))
         tree = ast.parse(src)
@@ -120,7 +129,7 @@ def content_hash(spec: QuerySpec) -> str:
     digest = hashlib.md5(
         (normalized + "\x00" + (spec.oracle or "")).encode()
     ).hexdigest()
-    _HASH_CACHE[key] = digest
+    _HASH_CACHE[key] = (weakref.ref(spec.fn.__code__), digest)
     return digest
 
 

@@ -24,7 +24,21 @@ operator's workload SHAPE instead of just duplicating bytes:
 
 Usage::
 
-    python scale_probe.py [--factor 10] [--runs 2]
+    python scale_probe.py [--factor 10] [--runs 2] [--fixed-benchmark]
+
+``--fixed-benchmark`` (VERDICT r9 item 3 / r10 item 3) is the PRODUCTION
+shape for the two decontamination ops: only TRAINING documents scale with
+the factor while the held-out benchmark slice (source ``src1`` — the side
+``text_contamination_matrix`` / ``stream_incremental_contamination``
+broadcast) stays at base size.  The default isomorphic-replica corpus grows
+BOTH sides, so its rungs measure a benchmark set no production pipeline
+has (benchmarks don't grow 100x because training data did); this mode
+converts the "cannot occur in production" argument into a measurement.
+Replica k > 0 drops ``src1`` rows entirely and token-suffixes the rest as
+usual, EXCEPT that docs with ``doc_id % 50 == 0`` keep their base text
+verbatim — a deterministic 2% planted-contamination stream, so every rung
+still exercises the join-hit path at a constant per-replica rate instead
+of probing an empty index.
 
 Prints one JSON line: per-op {rows_base, rows_x, sec_base, sec_x,
 time_growth} plus the row-growth factor.  Deterministic output data
@@ -52,6 +66,18 @@ KEY_SHIFT = 1_000_000  # > max orderkey at sf0.1 (149,999)
 # JVM/session by construction, and the emitted JSON carries this tag so
 # SCALE.md rows can attest that no growth ratio mixes sessions.
 _SESSION_ID = f"probe-{os.getpid()}-{os.urandom(4).hex()}"
+
+# operators/curation.py:BENCH_SOURCE — the held-out benchmark slice both
+# decontamination ops broadcast (tests assert the two constants agree)
+BENCH_SOURCE = "src1"
+CONTAM_RESIDUE = 50  # doc_id % 50 == 0 replicas keep base text (see docstring)
+
+# --fixed-benchmark only makes sense for ops whose scaled input is the
+# documents table and whose workload joins the static src1 benchmark side
+FIXED_BENCH_OPS = [
+    "text_contamination_matrix",
+    "stream_incremental_contamination",
+]
 
 HEAVY_OPS = [
     "dedup_minhash_lsh_pairs",
@@ -101,17 +127,25 @@ def _marker_path(out_dir: str, factor: int) -> str:
     return os.path.join(out_dir, f".complete_f{factor}_{fp}")
 
 
-def _marker_tables(out_dir: str, factor: int) -> set[str] | None:
+def _marker_tables(
+    out_dir: str, factor: int, fixed_benchmark: bool = False
+) -> set[str] | None:
     """The fact tables an existing completion marker attests, or None.
 
     Only markers whose filename fingerprint matches the CURRENT base corpus
     count — a corpus synthesized from a different SPARK_GRAFT_SF_DIR must
     never be reused.  Three marker vintages are recognized:
 
-    - current: base-fingerprinted name, JSON content {"tables": [...]};
+    - current: base-fingerprinted name, JSON content {"tables": [...]}
+      (optionally {"fixed_benchmark": bool}; absent means False);
     - legacy pre---ops: base-fingerprinted name, content "ok" → full build;
     - r7: name fingerprints base AND table set (enumerated over all subsets
       of _ALL_FACTS), content "ok" → attests exactly that set.
+
+    ``fixed_benchmark`` must MATCH what the marker records: the two modes
+    write differently-shaped documents tables, so a corpus built in one
+    mode must never attest the other (legacy vintages can only attest the
+    default mode — they predate --fixed-benchmark).
     """
     import hashlib
     import itertools
@@ -132,12 +166,19 @@ def _marker_tables(out_dir: str, factor: int) -> set[str] | None:
         except OSError:
             return None
         try:
-            tables = json.loads(content).get("tables")
+            rec = json.loads(content)
+            tables = rec.get("tables")
             if isinstance(tables, list):
+                if bool(rec.get("fixed_benchmark", False)) != fixed_benchmark:
+                    return None  # mode mismatch: rebuild, never cross-attest
                 return set(tables)
         except ValueError:
             pass
+        if fixed_benchmark:
+            return None  # legacy "ok" markers predate --fixed-benchmark
         return set(_ALL_FACTS)  # legacy pre---ops marker: full build
+    if fixed_benchmark:
+        return None  # all remaining vintages predate --fixed-benchmark
     for r in range(1, len(_ALL_FACTS) + 1):
         for combo in itertools.combinations(sorted(_ALL_FACTS), r):
             combo_fp = _fp(prefix + ":" + ",".join(combo))
@@ -170,7 +211,12 @@ def _marker_tables(out_dir: str, factor: int) -> set[str] | None:
     return None
 
 
-def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> None:
+def build_synth(
+    out_dir: str,
+    factor: int,
+    tables: set[str] | None = None,
+    fixed_benchmark: bool = False,
+) -> None:
     """Write the Nx corpus (idempotent and INCREMENTAL).
 
     The completion marker fingerprints the BASE corpus (path + documents
@@ -188,7 +234,7 @@ def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> No
     that only touches documents must not pay a 60M-row lineitem build at
     factor 100); dimensions always carry over unchanged."""
     tables = set(tables) if tables is not None else set(_ALL_FACTS)
-    have = _marker_tables(out_dir, factor)
+    have = _marker_tables(out_dir, factor, fixed_benchmark)
     if have is not None and tables <= have:
         return
     if have is None:
@@ -200,7 +246,7 @@ def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> No
         # the missing facts currently exist as 1x carry-over copies; the
         # builders below overwrite them with replicated versions
     if "documents" in missing:
-        _build_documents(out_dir, factor)
+        _build_documents(out_dir, factor, fixed_benchmark)
     if "embeddings" in missing:
         _build_embeddings(out_dir, factor)
     if missing & {"lineitem", "orders"}:
@@ -225,10 +271,25 @@ def build_synth(out_dir: str, factor: int, tables: set[str] | None = None) -> No
     if os.path.exists(bare):
         os.remove(bare)
     with open(_marker_path(out_dir, factor), "w") as f:
-        json.dump({"tables": sorted(tables | (have or set()))}, f)
+        json.dump(
+            {
+                "tables": sorted(tables | (have or set())),
+                "fixed_benchmark": fixed_benchmark,
+            },
+            f,
+        )
 
 
-def _build_documents(out_dir: str, factor: int) -> None:
+def _build_documents(
+    out_dir: str, factor: int, fixed_benchmark: bool = False
+) -> None:
+    """Replica 0 is the base corpus verbatim.  Default mode: replica k > 0
+    token-suffixes every doc (isomorphic intra-replica structure, disjoint
+    cross-replica token sets).  ``fixed_benchmark``: replica k > 0 DROPS the
+    benchmark slice (source == BENCH_SOURCE stays at base size — the
+    production shape) and keeps ``doc_id % CONTAM_RESIDUE == 0`` docs
+    verbatim so each replica contributes base-rate contamination hits
+    against the fixed benchmark instead of zero."""
     docs = pq.read_table(os.path.join(BASE, "documents.parquet"))
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
@@ -238,7 +299,15 @@ def _build_documents(out_dir: str, factor: int) -> None:
     for k in range(factor):
         suffix = f"~{k}"
         for i, t in enumerate(texts):
-            nt = t if k == 0 else " ".join(tok + suffix for tok in t.split(" "))
+            if k and fixed_benchmark:
+                if sources[i] == BENCH_SOURCE:
+                    continue  # the benchmark slice does not scale
+                planted = doc_ids[i] % CONTAM_RESIDUE == 0
+                nt = t if planted else " ".join(
+                    tok + suffix for tok in t.split(" ")
+                )
+            else:
+                nt = t if k == 0 else " ".join(tok + suffix for tok in t.split(" "))
             out["doc_id"].append(doc_ids[i] + k * ID_SHIFT)
             out["text"].append(nt)
             out["lang"].append(langs[i])
@@ -308,8 +377,9 @@ def _build_facts(out_dir: str, factor: int, tables: set[str]) -> None:
 def main() -> None:
     factor = 10
     runs = 2
-    ops = list(HEAVY_OPS)
     args = sys.argv[1:]
+    fixed_benchmark = "--fixed-benchmark" in args
+    ops = list(FIXED_BENCH_OPS if fixed_benchmark else HEAVY_OPS)
     if "--factor" in args:
         factor = int(args[args.index("--factor") + 1])
     if "--runs" in args:
@@ -319,10 +389,22 @@ def main() -> None:
         unknown = [o for o in ops if o not in OP_TABLE]
         if unknown:
             raise SystemExit(f"unknown ops (add to OP_TABLE): {unknown}")
+    if fixed_benchmark:
+        bad = [o for o in ops if o not in FIXED_BENCH_OPS]
+        if bad:
+            raise SystemExit(
+                f"--fixed-benchmark only applies to {FIXED_BENCH_OPS}: {bad}"
+            )
 
-    synth = f"/tmp/sgraft_scaleprobe_f{factor}"
+    # fb corpora live in their own dir: same factor, different documents
+    synth = f"/tmp/sgraft_scaleprobe_f{factor}" + ("_fb" if fixed_benchmark else "")
     t0 = time.perf_counter()
-    build_synth(synth, factor, tables={t for o in ops for t in OP_TABLE[o]})
+    build_synth(
+        synth,
+        factor,
+        tables={t for o in ops for t in OP_TABLE[o]},
+        fixed_benchmark=fixed_benchmark,
+    )
     build_s = time.perf_counter() - t0
 
     from kafka_spark_streaming_eval_spark.plans.registry import all_queries
@@ -358,11 +440,13 @@ def main() -> None:
             "sec_x": round(best_x, 3),
             "time_growth": round(best_x / best_b, 2) if best_b else None,
         }
-    print(json.dumps(probe_payload(factor, build_s, report)))
+    print(json.dumps(probe_payload(factor, build_s, report, fixed_benchmark)))
     spark.stop()
 
 
-def probe_payload(factor: int, build_s: float, report: dict) -> dict:
+def probe_payload(
+    factor: int, build_s: float, report: dict, fixed_benchmark: bool = False
+) -> dict:
     """The emitted probe JSON.  Schema contract (VERDICT r7 item 7): it
     MUST carry ``session_id`` — every time_growth divides a sec_x by a
     sec_base measured in THIS process/JVM, and SCALE.md rung rows cite the
@@ -375,6 +459,10 @@ def probe_payload(factor: int, build_s: float, report: dict) -> dict:
         "base": BASE,
         "synth_build_s": round(build_s, 1),
         "session_id": _SESSION_ID,
+        # True = production shape: training docs scale, benchmark slice
+        # (src1) held at base size; rungs from the two modes must never be
+        # compared to each other
+        "fixed_benchmark": fixed_benchmark,
         "ops": report,
     }
 

@@ -270,3 +270,45 @@ def test_budget_stdout_payload_serializes_null_stream_fields():
     line = json.dumps(slim)
     assert json.loads(line)["stream_sustained_eps"] is None
     assert json.loads(line)["stream_isolation"] == "in-process-invalid"
+
+
+def test_last_measured_secs_latest_round_wins(tmp_path):
+    """VERDICT r9/r10 item 4: the vs-last base must be each query's OWN
+    latest measurement across all three payload vintages, with the sidecar
+    (always newest) taking precedence."""
+    import json
+
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"qa": 1.0, "qb": 5.0}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {"qa": 2.0}, "tier2_queries": {"qc": 7.0}})
+    )
+    # tail-window vintage: values recovered by regex
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": None, "tail": '..., "qb": 6.25, "value": 9.9}'})
+    )
+    (tmp_path / "BENCH_DETAILS.json").write_text(
+        json.dumps({"queries": {"qa": 3.5}})
+    )
+    last = bench._last_measured_secs(str(tmp_path))
+    assert last["qa"] == 3.5  # sidecar beats r02
+    assert last["qb"] == 6.25  # tail regex beats r01
+    assert last["qc"] == 7.0
+
+
+def test_vs_last_fields_raw_value_deltas():
+    out = bench.vs_last_fields(
+        {"qa": 1.0215, "qnew": 2.0}, {"qa": 0.4564, "qz": 9.0}
+    )
+    assert set(out) == {"qa"}  # never-measured queries carry no delta
+    assert out["qa"]["last_s"] == 0.4564
+    # computed from raw values: +123.8%, not the 2-dp-rounded +122%
+    assert out["qa"]["delta_pct"] == 123.8
+
+
+def test_vs_last_and_gate_excluded_from_stdout_line():
+    full = _fake_full_payload(60)
+    full["vs_last"] = {"q": {"last_s": 1.0, "delta_pct": 5.0}}
+    slim = bench.budget_stdout_payload(full)
+    assert "vs_last" not in slim and "stream_gate" not in slim

@@ -651,3 +651,42 @@ def test_session_shuffle_sizing_is_scale_adaptive(spark):
     parallelism = spark.sparkContext.defaultParallelism
     assert got == max(8 * parallelism, 64)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_content_hash_cache_bounded_across_reloads():
+    """ADVICE r9/r10: the content-hash cache must not grow without bound
+    (nor pin historical __code__ objects) when a module is reloaded — one
+    entry per (module, qualname, oracle), replaced in place, old code
+    objects collectable."""
+    import gc
+    import weakref
+
+    from kafka_spark_streaming_eval_spark.plans import registry
+
+    ns: dict = {}
+    src_a = "def q(spark, sf_dir):\n    return spark.range(1)\n"
+    src_b = "def q(spark, sf_dir):\n    return spark.range(2)\n"
+
+    exec(compile(src_a, "<reload-sim>", "exec"), ns)
+    fn_a = ns["q"]
+    spec_a = registry.QuerySpec("q", fn_a, "SELECT 1", "t")
+    before = len(registry._HASH_CACHE)
+    h_a = registry.content_hash(spec_a)
+    assert registry.content_hash(spec_a) == h_a  # cache hit path
+    grew = len(registry._HASH_CACHE) - before
+    assert grew <= 1
+
+    # "reload": same module/qualname/oracle, new code object — the entry is
+    # REPLACED, not appended, and the digest reflects the new body
+    exec(compile(src_b, "<reload-sim>", "exec"), ns)
+    fn_b = ns["q"]
+    spec_b = registry.QuerySpec("q", fn_b, "SELECT 1", "t")
+    h_b = registry.content_hash(spec_b)
+    assert h_b != h_a
+    assert len(registry._HASH_CACHE) - before == grew  # no growth on reload
+
+    # the superseded code object is NOT pinned by the cache
+    code_ref = weakref.ref(fn_a.__code__)
+    del fn_a, spec_a, ns
+    gc.collect()
+    assert code_ref() is None, "cache pinned a superseded __code__ object"

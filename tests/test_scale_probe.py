@@ -161,3 +161,87 @@ def test_probe_payload_carries_session_id():
     assert payload["session_id"] == scale_probe._SESSION_ID
     assert payload["session_id"].startswith("probe-")
     assert payload["ops"] == {"op": {"sec_base": 1}}
+
+
+def test_fixed_benchmark_constant_matches_operators():
+    """scale_probe hardcodes the benchmark source to avoid importing the
+    operator package at probe-import time; the two constants must agree."""
+    from kafka_spark_streaming_eval_spark.operators.curation import BENCH_SOURCE
+
+    assert scale_probe.BENCH_SOURCE == BENCH_SOURCE
+    assert set(scale_probe.FIXED_BENCH_OPS) <= set(scale_probe.HEAVY_OPS)
+    for op in scale_probe.FIXED_BENCH_OPS:
+        assert scale_probe.OP_TABLE[op] == ("documents",)
+
+
+def test_fixed_benchmark_scales_training_only(small_base, tmp_path):
+    """VERDICT r9/r10 item 3: --fixed-benchmark holds the src1 benchmark
+    slice at base size while training docs replicate, and plants a
+    deterministic doc_id%50 verbatim stream so contamination hits grow at a
+    constant per-replica rate instead of dropping to zero."""
+    import collections
+
+    out = str(tmp_path / "synth_fb")
+    scale_probe.build_synth(out, factor=3, tables={"documents"}, fixed_benchmark=True)
+    t = pq.read_table(os.path.join(out, "documents.parquet"))
+    base = pq.read_table(os.path.join(SMALL_BASE, "documents.parquet"))
+    by_src = collections.Counter(t.column("source").to_pylist())
+    base_by_src = collections.Counter(base.column("source").to_pylist())
+    bench = scale_probe.BENCH_SOURCE
+    assert by_src[bench] == base_by_src[bench], "benchmark slice must not scale"
+    for src, n in base_by_src.items():
+        if src != bench:
+            assert by_src[src] == 3 * n, f"training slice {src} must scale 3x"
+    # planted verbatim replicas: every replica-k doc with base doc_id%50==0
+    # carries the base text unchanged (same shingles -> base-rate hits)
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    base_text = dict(
+        zip(base.column("doc_id").to_pylist(), base.column("text").to_pylist())
+    )
+    planted = suffixed = 0
+    for i, did in enumerate(ids):
+        k, bid = divmod(did, scale_probe.ID_SHIFT)
+        if k == 0:
+            continue
+        if bid % scale_probe.CONTAM_RESIDUE == 0:
+            assert texts[i] == base_text[bid]
+            planted += 1
+        else:
+            assert texts[i] != base_text[bid]
+            suffixed += 1
+    assert planted > 0 and suffixed > 0
+
+
+def test_fixed_benchmark_marker_never_cross_attests(small_base, tmp_path):
+    """A corpus built in one mode must never satisfy the other mode's
+    request — the two modes write differently-shaped documents tables."""
+    out = str(tmp_path / "synth")
+    scale_probe.build_synth(out, factor=2, tables={"documents"})
+    assert scale_probe._marker_tables(out, 2) == {"documents"}
+    assert scale_probe._marker_tables(out, 2, fixed_benchmark=True) is None
+    out_fb = str(tmp_path / "synth_fb")
+    scale_probe.build_synth(
+        out_fb, factor=2, tables={"documents"}, fixed_benchmark=True
+    )
+    assert scale_probe._marker_tables(out_fb, 2, fixed_benchmark=True) == {
+        "documents"
+    }
+    assert scale_probe._marker_tables(out_fb, 2) is None
+    # legacy "ok" markers predate the mode and can only attest default mode
+    for m in os.listdir(out):
+        if m.startswith(".complete"):
+            with open(os.path.join(out, m), "w") as f:
+                f.write("ok")
+    assert scale_probe._marker_tables(out, 2) == scale_probe._ALL_FACTS
+    assert scale_probe._marker_tables(out, 2, fixed_benchmark=True) is None
+
+
+def test_probe_payload_carries_fixed_benchmark_flag():
+    assert scale_probe.probe_payload(10, 1.0, {})["fixed_benchmark"] is False
+    assert (
+        scale_probe.probe_payload(10, 1.0, {}, fixed_benchmark=True)[
+            "fixed_benchmark"
+        ]
+        is True
+    )
