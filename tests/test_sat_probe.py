@@ -1,0 +1,19 @@
+"""sat_probe contract: the settle-window selector (pure logic — the timed
+streaming run needs an idle host and runs out-of-suite)."""
+
+from sat_probe import settle_index
+
+
+def test_settle_index_first_of_earliest_exact_run():
+    # catch-up batches (4x, 3x rate), one wobble, then settled
+    ev = [800_000, 600_000, 200_000, 200_000, 190_000, 200_000, 200_000,
+          200_000, 200_000, 200_000]
+    assert settle_index(ev, 200_000, 5) == 5
+    # the window INCLUDES the k settle batches (opens at the run's start)
+    assert settle_index(ev, 200_000, 2) == 2
+
+
+def test_settle_index_empty_batches_break_runs_and_none_when_unsettled():
+    assert settle_index([200_000, 0, 200_000], 200_000, 2) is None
+    assert settle_index([], 200_000, 3) is None
+    assert settle_index([100_000] * 10, 200_000, 1) is None
