@@ -41,7 +41,7 @@ from pyspark.sql.window import Window as W
 from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.operators.dedup import shingle_rows
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.session import iter_checkpoint, prep
 
 BENCH_SOURCE = "src1"  # the held-out benchmark slice the stream is checked against
 DSIR_TARGET_SOURCE = "src0"  # DSIR's target-domain slice (same as the LM slice)
@@ -300,8 +300,8 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus (measured r7: 2 FileScans).  |docs| x <=256 rows — far
         # smaller than the corpus; at 100 TB this is the standard
         # persist-the-feature-table step, local to executors.
-        .localCheckpoint(eager=True)
     )
+    docfeat = iter_checkpoint(docfeat)
     hist = docfeat.groupBy("bucket").agg(
         F.sum("k").cast("long").alias("r_b"),
         F.sum(F.when(F.col("source") == DSIR_TARGET_SOURCE, F.col("k")).otherwise(0))

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.session import iter_checkpoint, prep
 
 N_HASHES = 12  # minhash signature length
 BAND_SIZE = 3  # rows per LSH band -> 4 bands
@@ -326,7 +326,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    edges = edges.localCheckpoint(eager=True)  # pairs computed once, reused every round
+    edges = iter_checkpoint(edges)  # pairs computed once, reused every round
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
@@ -350,7 +350,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Propagation converges in O(diameter) ≈ 2-3 rounds, so at most one
         # extra propagation round is paid for the halved check cadence.
         if it % 2 == 1:
-            upd = upd.localCheckpoint(eager=True)
+            upd = iter_checkpoint(upd)
         labels = upd.select("node", "label")
         if it % 2 == 1 and upd.where(F.col("label") != F.col("old_label")).count() == 0:
             break

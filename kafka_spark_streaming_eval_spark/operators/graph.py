@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from kafka_spark_streaming_eval_spark.catalog import table
 from kafka_spark_streaming_eval_spark.functions.numeric import dsum, dsum_sql
 from kafka_spark_streaming_eval_spark.plans.registry import register
-from kafka_spark_streaming_eval_spark.session import prep
+from kafka_spark_streaming_eval_spark.session import iter_checkpoint, prep
 
 PR_ITERS = 15
 PR_DAMP = 0.85  # literal 0.85/0.15 mirrored as CAST(... AS DOUBLE) in SQL
@@ -143,7 +143,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a billion-node graph → full parallelism.
     sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     loop_parts = max(1, min(sess_parts, n // 50_000 + 1))
-    frac = frac.coalesce(loop_parts).localCheckpoint(eager=True)
+    frac = iter_checkpoint(frac.coalesce(loop_parts))
     ranks = nodes.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
     ranks = ranks.coalesce(loop_parts)
     for it in range(PR_ITERS):
@@ -174,7 +174,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # jobs, while every-8th gains nothing further (plan-depth cost
         # plateaus) — 5 is the measured knee.
         if it % 5 == 4 or it == PR_ITERS - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = iter_checkpoint(ranks)
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
 
@@ -236,19 +236,18 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("src") != F.col("dst"))
         )
         .distinct()
-        .localCheckpoint()  # materialize once; 6 rounds re-join this
     )
+    edges = iter_checkpoint(edges)  # materialize once; 6 rounds re-join this
     dist = spark.createDataFrame([(0, 0)], "node int, dist int")
     for _ in range(BFS_MAX_HOPS):
         nxt = (
             dist.join(edges, dist.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        dist = (
+        dist = iter_checkpoint(
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
         )
     return dist.select("node", F.col("dist").alias("hops"))
 
@@ -289,7 +288,7 @@ def triangle_counts(und_any: DataFrame) -> DataFrame:
     # Materialize the oriented edge list once: it feeds three join branches
     # (both wedge sides + the closure probe) and Spark would otherwise
     # replay the upstream edge build per branch — 3 corpus scans instead of 1.
-    oriented = oriented.localCheckpoint(eager=True)
+    oriented = iter_checkpoint(oriented)
     w1 = oriented.select(F.col("x"), F.col("y").alias("y1"))
     w2 = oriented.select(F.col("x"), F.col("y").alias("y2"))
     wedges = w1.join(w2, "x").where(F.col("y1") < F.col("y2"))
@@ -455,10 +454,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        # feeds 3 branches (both wedge sides + the anti-join) — materialize
-        # once instead of replaying the 4-table join per branch
-        .localCheckpoint(eager=True)
     )
+    # feeds 3 branches (both wedge sides + the anti-join) — materialize
+    # once instead of replaying the 4-table join per branch
+    und = iter_checkpoint(und)
     nbr = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         und.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )

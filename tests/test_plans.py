@@ -690,3 +690,40 @@ def test_content_hash_cache_bounded_across_reloads():
     del fn_a, spec_a, ns
     gc.collect()
     assert code_ref() is None, "cache pinned a superseded __code__ object"
+
+
+def test_iter_checkpoint_default_delegates_to_localcheckpoint(spark, monkeypatch):
+    """Default mode must stay byte-identical to the pre-r11 behavior (and
+    keep the plan-audit localCheckpoint spy working): no env var -> the
+    helper calls DataFrame.localCheckpoint(eager=True)."""
+    from kafka_spark_streaming_eval_spark.session import iter_checkpoint
+
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    df = spark.range(3)
+    calls = []
+    orig = type(df).localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(type(df), "localCheckpoint", spy)
+    out = iter_checkpoint(df)
+    assert calls == [True]
+    assert out.count() == 3
+
+
+def test_iter_checkpoint_reliable_mode_writes_to_dir(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_CHECKPOINT_DIR switches iterative operators to reliable
+    checkpoint(): the context checkpoint dir is set once and RDD checkpoint
+    files land under it (the blocks that survive executor loss)."""
+    import os
+
+    from kafka_spark_streaming_eval_spark.session import iter_checkpoint
+
+    ck = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ck)
+    out = iter_checkpoint(spark.range(4))
+    assert out.count() == 4
+    assert spark.sparkContext.getCheckpointDir() is not None
+    assert any(os.scandir(ck)), "no reliable checkpoint files written"
