@@ -21,7 +21,16 @@ a trigger).
 
 Usage::
 
-    python sat_probe.py [--rate 200000] [--settle 5] [--run-s 25]
+    python sat_probe.py [--rate 200000] [--settle 5] [--run-s 25] [--deadline 150]
+
+``--deadline`` bounds the settling wait (seconds).  The 150 s default is
+calibrated for <=200k eps (settle lands at +13-117 s there); at higher
+rates the catch-up phase alone can exceed it — the round-11 ceiling
+probes first read 275k/300k as "divergent" under the default deadline,
+but their own timelines show the final catch-up batches processing at
+354k-1.45M eps (i.e. CONVERGING, cut off mid-catch-up).  A "never
+settled" verdict is only meaningful if the timeline's tail throughput is
+also below the input rate; otherwise raise the deadline and re-measure.
 
 Prints ONE JSON line; run it on an idle host in a fresh process (same
 methodology as bench's --stream-only subprocess).
@@ -48,6 +57,20 @@ def settle_index(events: list[int], rate: int, k: int) -> int | None:
     return None
 
 
+def tail_eps(timeline: list[list]) -> float | None:
+    """Processing throughput of the LAST completed batch: events of the
+    final timeline entry divided by the wall between the last two batch
+    completions.  This is the convergence discriminator for a "never
+    settled" verdict: tail_eps > rate means the backlog was still being
+    drained FASTER than it grew (cut off mid-catch-up, raise --deadline);
+    tail_eps < rate means genuine divergence."""
+    if len(timeline) < 2:
+        return None
+    (t0, _), (t1, ev1) = timeline[-2], timeline[-1]
+    span = t1 - t0
+    return round(ev1 / span, 1) if span > 0 else None
+
+
 def main() -> None:
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell")
 
@@ -70,6 +93,9 @@ def main() -> None:
     rate = int(args[args.index("--rate") + 1]) if "--rate" in args else 200_000
     settle = int(args[args.index("--settle") + 1]) if "--settle" in args else 5
     run_s = float(args[args.index("--run-s") + 1]) if "--run-s" in args else 25.0
+    deadline_s = (
+        float(args[args.index("--deadline") + 1]) if "--deadline" in args else 150.0
+    )
 
     spark = get_spark("sat-probe")
     ev = synth_events_stream(spark, rows_per_second=rate)
@@ -95,7 +121,7 @@ def main() -> None:
     timeline: list[list] = []
     settled_at = None
     # settling can take the full catch-up phase plus the settle run itself
-    deadline = time.time() + 150
+    deadline = time.time() + deadline_s
     while time.time() < deadline:
         rows_now = list(sink.rows)
         while len(timeline) < len(rows_now):
@@ -110,6 +136,8 @@ def main() -> None:
         time.sleep(0.25)
     if settled_at is None:
         print(json.dumps({"rate_eps": rate, "error": "never settled",
+                          "deadline_s": deadline_s,
+                          "tail_eps": tail_eps(timeline),
                           "timeline": timeline[:60]}))
         query.stop()
         query.awaitTermination()
@@ -137,6 +165,7 @@ def main() -> None:
             {
                 "rate_eps": rate,
                 "mode": "post-settling",
+                "deadline_s": deadline_s,
                 "settle_exact_batches": settle,
                 "settle_offset_s": settle_offset_s,
                 "sustained_eps": round(sustained, 1),
