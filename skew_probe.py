@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Skew-join mitigation probe: measure AQE's skew split and manual salting
+against an unmitigated hot-key sort-merge join.
+
+SCALE.md's extrapolation boundary says the skew mitigations "are in the
+plans ... but their network-scale behavior is asserted from Spark's
+architecture, not measured here".  The *scheduling* half of that claim is
+measurable on one host: a hot reducer is a straggling TASK regardless of
+fabric, and both mitigations work by never creating that task.  This
+probe builds the canonical worst case — one key holding 40% of the fact
+table, joined to a dimension too large to broadcast — and times three
+engines on identical data:
+
+- ``none``  — AQE on, skew-join rewrite OFF: the hot key lands on one
+  reducer, and the stage's wall is that task's wall.
+- ``aqe``   — `spark.sql.adaptive.skewJoin.enabled=true`: AQE splits the
+  oversized partition into advisory-sized sub-reads and replicates the
+  matching dim rows.  Thresholds are lowered (16m/8m vs the 256m/64m
+  defaults) because the probe's hot partition is ~10^2 MB where a 100 TB
+  hot key is ~10^2 GB — the REWRITE is what's under test, not the
+  default trigger point; at production scale the defaults fire on their
+  own.
+- ``salted`` — the engine's manual pattern (`join_salted_skew`,
+  `operators/relational.py`): fact keys salted into ``--salt`` shards,
+  dim exploded ``--salt``×, join on (key, salt) — no single reducer ever
+  sees the whole hot key, at the price of a salt× bigger dim shuffle.
+
+Same conventions as the other probes: fresh process per mode (static
+confs), exact integer checksum compared across all three (the join+agg
+is deterministic), one JSON line per worker, idle host.  The aqe worker
+also records the final adaptive plan's skew markers as evidence the
+rewrite actually fired.
+
+Usage::
+
+    python skew_probe.py                       # orchestrates all 3 modes
+    python skew_probe.py --worker --mode aqe   # one mode
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+
+
+def skew_evidence(plan: str) -> dict:
+    """Extract skew-split evidence from a final adaptive plan string.
+
+    After an action, `AQEShuffleRead` nodes that split an oversized
+    partition print ``skewed=N`` / the SMJ prints ``skew=true``
+    (wording varies by version, so match case-insensitively on both
+    markers).  Returns the markers found and a fired/not verdict.
+    """
+    lowered = plan.lower()
+    markers = [m for m in ("skew=true", "skewed") if m in lowered]
+    return {"skew_markers": markers, "skew_split_fired": bool(markers)}
+
+
+def run_worker(args: argparse.Namespace) -> None:
+    os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    builder = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName(f"skew-probe-{args.mode}")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        # Common to ALL modes so the A/B isolates the skew handling:
+        # with the 64m default, AQE coalesces every mode's ~300 MB
+        # shuffle into ~5 fat partitions and the comparison measures
+        # coalescing, not skew (observed: salted went 6.3 s -> fixed).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    )
+    if args.mode == "aqe":
+        builder = (
+            builder.config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+            )
+        )
+    else:
+        builder = builder.config("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark = builder.getOrCreate()
+
+    rows, hot_rows, nkeys = args.rows, args.hot_rows, args.nkeys
+
+    def build():
+        # Rebuilt fresh per execution: re-collecting the SAME DataFrame
+        # object reuses the already-materialized AQE shuffle stages (the
+        # second run measured 0.07 s — exchange reuse, not the join).
+        fact = (
+            spark.range(rows)
+            .withColumn(
+                "k",
+                F.when(F.col("id") < hot_rows, F.lit(0)).otherwise(
+                    F.pmod(F.col("id") * F.lit(2654435761), F.lit(nkeys))
+                ),
+            )
+            .withColumn("v", (F.col("id") * F.lit(40503)) % F.lit(1000003))
+        )
+        dim = spark.range(nkeys).select(
+            F.col("id").alias("k"), (F.col("id") % F.lit(97) + F.lit(1)).alias("w")
+        )
+        if args.mode == "salted":
+            s = args.salt
+            fact_s = fact.withColumn("salt", F.pmod(F.col("id"), F.lit(s)))
+            dim_s = dim.withColumn(
+                "salt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+            )
+            joined = fact_s.join(dim_s, ["k", "salt"])
+        else:
+            joined = fact.join(dim, "k")
+        return joined.agg(
+            F.sum(F.col("v") * F.col("w")).alias("checksum"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+
+    # Warm: executor/python spin-up on a skew-free plan.
+    spark.range(100_000).repartition(8).agg(F.sum("id")).collect()
+
+    # Two full executions of independently-built identical plans; report
+    # the second (the first also pays codegen compilation and JIT warm-up,
+    # which would bias whichever mode runs first).
+    t0 = time.time()
+    build().collect()
+    wall_cold = time.time() - t0
+    agg = build()
+    t0 = time.time()
+    row = agg.collect()[0]
+    wall = time.time() - t0
+
+    out = {
+        "mode": args.mode,
+        "wall_s": round(wall, 2),
+        "wall_cold_s": round(wall_cold, 2),
+        "checksum": int(row["checksum"]),
+        "rows": int(row["rows"]),
+    }
+    if args.mode == "aqe":
+        # Evidence must come from the EXECUTED DataFrame: AQE finalizes
+        # (and annotates) the plan only after the action runs.
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        out.update(skew_evidence(plan))
+    spark.stop()
+    print(json.dumps(out), flush=True)
+
+
+def orchestrate(args: argparse.Namespace) -> None:
+    runs = []
+    for mode in ("none", "aqe", "salted"):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker",
+            "--mode",
+            mode,
+            "--rows",
+            str(args.rows),
+            "--hot-rows",
+            str(args.hot_rows),
+            "--nkeys",
+            str(args.nkeys),
+            "--salt",
+            str(args.salt),
+            "--cpus",
+            str(args.cpus),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not line:
+            raise SystemExit(
+                f"worker ({mode}) failed rc={proc.returncode}:\n{proc.stderr[-3000:]}"
+            )
+        runs.append(json.loads(line[-1]))
+
+    by_mode = {r["mode"]: r for r in runs}
+    checks = {r["checksum"] for r in runs}
+    result = {
+        "probe": "skew_join_mitigation_ab",
+        "rows": args.rows,
+        "hot_rows": args.hot_rows,
+        "nkeys": args.nkeys,
+        "salt": args.salt,
+        "runs": runs,
+        "checksums_match": len(checks) == 1
+        and len({r["rows"] for r in runs}) == 1,
+        "speedup_aqe": round(by_mode["none"]["wall_s"] / by_mode["aqe"]["wall_s"], 2)
+        if by_mode["aqe"]["wall_s"] > 0
+        else None,
+        "speedup_salted": round(
+            by_mode["none"]["wall_s"] / by_mode["salted"]["wall_s"], 2
+        )
+        if by_mode["salted"]["wall_s"] > 0
+        else None,
+    }
+    os.makedirs(RESULTS, exist_ok=True)
+    with open(os.path.join(RESULTS, args.out), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result), flush=True)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--worker", action="store_true")
+    p.add_argument("--mode", choices=["none", "aqe", "salted"], default="none")
+    p.add_argument("--rows", type=int, default=20_000_000)
+    p.add_argument("--hot-rows", type=int, default=8_000_000)
+    p.add_argument("--nkeys", type=int, default=100_000)
+    p.add_argument("--salt", type=int, default=16)
+    p.add_argument("--cpus", type=int, default=16)
+    p.add_argument("--out", default="skew_probe_r11.json")
+    args = p.parse_args()
+    if args.worker:
+        run_worker(args)
+    else:
+        orchestrate(args)
+
+
+if __name__ == "__main__":
+    main()
