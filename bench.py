@@ -54,6 +54,66 @@ from kafka_spark_streaming_eval_spark.streaming.metrics_job import (  # noqa: E4
     parse_events,
 )
 
+def read_steal_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate ``cpu`` line of
+    ``/proc/stat``.  Field 9 of that line (index 7 after the "cpu" label) is
+    time stolen by the hypervisor — the quantity SCALE.md's round-11 steal
+    calibration showed explains 22x swings in committed bench numbers
+    (three byte-identical runs measured 56.0/64.7/89.0 s at 1.0-4.3% steal
+    vs a twice-measured 42.72 s steal-free floor).  Returns None when the
+    file is absent/odd (non-Linux, restricted sandbox) so callers can record
+    "weather unknown" instead of a fake zero."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        vals = [int(x) for x in parts[1:]]
+        if len(vals) < 8:
+            return None
+        return vals[7], sum(vals)
+    except (OSError, ValueError):
+        return None
+
+
+class StealMeter:
+    """Delta-based hypervisor-steal measurement over one bench phase.
+
+    VERDICT r11 item 1: every committed bench sidecar must be
+    weather-self-describing — BENCH_r11.json carried a 22x throughput_eps
+    artifact that only SCALE.md archaeology could explain because the
+    payload had no steal field.  Construct at phase start, ``finish()`` at
+    phase end; the dict is embedded in the payload per phase."""
+
+    def __init__(self) -> None:
+        self._start = read_steal_ticks()
+        self._t0 = time.time()
+
+    def finish(self) -> dict:
+        end = read_steal_ticks()
+        wall = round(time.time() - self._t0, 2)
+        if self._start is None or end is None:
+            return {"available": False, "wall_s": wall}
+        dsteal = end[0] - self._start[0]
+        dtotal = end[1] - self._start[1]
+        return {
+            "available": True,
+            "wall_s": wall,
+            "steal_ticks": dsteal,
+            "steal_pct": round(100.0 * dsteal / dtotal, 3) if dtotal > 0 else None,
+        }
+
+
+# Retry gate for the batch throughput pass (mirrors how stream_payload_ok
+# already gates the streaming sentinels): a throughput_eps measured under
+# more than this much steal is re-attempted, and the payload records every
+# attempt so the recorded number is never silently weather-poisoned.
+# 0.25% is well below the 1.0% that produced r10's "+22% on identical
+# code" anomaly and above the <=0.01% observed on a quiet host.
+THROUGHPUT_STEAL_GATE_PCT = 0.25
+THROUGHPUT_STEAL_RETRIES = 2
+
+
 HEADLINE = [
     "ref_flagship_batch_metrics",
     "tpch_q1_pricing_summary",
@@ -278,7 +338,7 @@ def budget_stdout_payload(full: dict, limit: int = STDOUT_BUDGET) -> dict:
         k: v
         for k, v in full.items()
         if k not in ("queries", "tier2_queries", "tier2_policy", "stream_gate",
-                     "vs_last")
+                     "vs_last", "steal")
     }
     all_q = dict(full.get("queries", {}))
     slim["queries"] = {}
@@ -304,8 +364,10 @@ def time_query(fn, spark, sf_dir, runs: int = 2) -> float:
     return best
 
 
-def throughput_eps(spark) -> float:
-    """Events/second through parse -> latency -> fused metrics agg."""
+def throughput_eps(spark) -> tuple[float, dict]:
+    """Events/second through parse -> latency -> fused metrics agg, plus the
+    steal-tick weather over the measured span (warm-up pass included in the
+    span: a steal burst during warm-up also poisons best-of-2)."""
     wire = synth_events_batch(spark, THROUGHPUT_EVENTS).select(
         F.to_json(
             F.struct("event_id", "created_ts", "user_id", "event_type", "value", "payload")
@@ -314,6 +376,7 @@ def throughput_eps(spark) -> float:
     wire = wire.cache()
     wire.count()  # materialize the input outside the measurement
     try:
+        meter = StealMeter()
         best = 0.0
         for _ in range(2):  # first pass doubles as warm-up (BASELINE methodology)
             t0 = time.perf_counter()
@@ -321,9 +384,56 @@ def throughput_eps(spark) -> float:
             wall = time.perf_counter() - t0
             assert row.batch_events == THROUGHPUT_EVENTS
             best = max(best, THROUGHPUT_EVENTS / wall)
-        return best
+        return best, meter.finish()
     finally:
         wire.unpersist()
+
+
+def throughput_eps_gated(spark) -> tuple[float, dict]:
+    """throughput_eps with the weather gate (VERDICT r11 item 1): when the
+    measured span saw more than THROUGHPUT_STEAL_GATE_PCT hypervisor steal,
+    re-attempt (up to THROUGHPUT_STEAL_RETRIES extra passes) and keep the
+    attempt with the LEAST steal — under steal the number is biased low, so
+    least-steal and max-eps agree in expectation, but least-steal is the
+    honest selector (it picks by measured weather, not by outcome).  Returns
+    (eps, provenance) where provenance records every attempt's eps + steal,
+    which attempt was kept, and whether the gate ever cleared.  With
+    /proc/stat unavailable the first attempt is kept and marked
+    weather-unknown rather than retried forever."""
+    attempts: list[dict] = []
+    for i in range(1 + THROUGHPUT_STEAL_RETRIES):
+        eps, steal = throughput_eps(spark)
+        attempts.append({"eps": round(eps, 1), "steal": steal})
+        if not steal.get("available"):
+            break
+        if steal.get("steal_pct") is not None and (
+            steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
+        ):
+            break
+        print(
+            f"bench: throughput attempt {i + 1} saw "
+            f"{steal.get('steal_pct')}% steal (> gate "
+            f"{THROUGHPUT_STEAL_GATE_PCT}%); retrying",
+            file=sys.stderr,
+        )
+
+    def steal_key(a: dict) -> float:
+        pct = a["steal"].get("steal_pct")
+        return pct if pct is not None else float("inf")
+
+    kept = min(range(len(attempts)), key=lambda i: steal_key(attempts[i]))
+    kept_steal = attempts[kept]["steal"]
+    provenance = {
+        "attempts": attempts,
+        "kept_attempt": kept + 1,
+        "gate_pct": THROUGHPUT_STEAL_GATE_PCT,
+        "gate_cleared": bool(
+            kept_steal.get("available")
+            and kept_steal.get("steal_pct") is not None
+            and kept_steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
+        ),
+    }
+    return attempts[kept]["eps"], provenance
 
 
 def stream_payload_ok(payload: dict, rate_eps: float | None = None) -> bool:
@@ -558,6 +668,7 @@ def main() -> None:
     _pin_heap()
     sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    run_meter = StealMeter()
     spark = get_spark("bench")
     specs = all_queries()
 
@@ -574,9 +685,11 @@ def main() -> None:
 
         random.Random(int(shuffle_seed)).shuffle(order)
 
+    headline_meter = StealMeter()
     timings: dict[str, float] = {}
     for name in order:
         timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
+    headline_steal = headline_meter.finish()
 
     # tier2 coverage rotation (disable with SPARK_GRAFT_BENCH_TIER2=0).
     # Wall-clock budgeted (SPARK_GRAFT_BENCH_TIER2_BUDGET_S, default 200 s —
@@ -585,6 +698,7 @@ def main() -> None:
     # coverage by a round) so bench runtime stays bounded as the registry
     # grows: queries cut by the budget stay never/stalest-benched and lead
     # the next round's rotation.
+    tier2_meter = StealMeter()
     tier2: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
         tier2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIER2_BUDGET_S", "200"))
@@ -599,7 +713,9 @@ def main() -> None:
                 break
             tier2[name] = round(time_query(specs[name].fn, spark, sf_dir, runs=1), 4)
 
-    eps = throughput_eps(spark)
+    tier2_steal = tier2_meter.finish()
+
+    eps, throughput_weather = throughput_eps_gated(spark)
 
     # The latency-sensitive streaming measurement runs in a FRESH
     # subprocess (own JVM) — matching BASELINE exp1's methodology, which
@@ -616,6 +732,7 @@ def main() -> None:
     stream_eps = stream_p95 = recovery_s = None
     stream_batches = None
     stream_gate = None
+    stream_steal = None
     stream_isolation = "subprocess"
     import subprocess
 
@@ -636,6 +753,7 @@ def main() -> None:
             recovery_s = payload["recovery_s"]
             stream_batches = payload.get("stream_batches")
             stream_gate = payload.get("stream_gate")
+            stream_steal = payload.get("stream_steal")
             break
         except Exception as exc:
             print(
@@ -654,9 +772,11 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(2.0)
+        fallback_meter = StealMeter()
         stream_eps, stream_p95, recovery_s, stream_batches, stream_gate = (
             streaming_live(spark)
         )
+        stream_steal = fallback_meter.finish()
         # The fallback triple gets the SAME plausibility gate as the
         # subprocess path: a starved/backlogged in-process run can produce
         # the identical sentinel / catch-up shapes (the r7 incident), and
@@ -680,6 +800,10 @@ def main() -> None:
     # destroys the previous measurement): the round-over-round comparability
     # field — tier2_total is a rotation-mix artifact; these are not.
     last_measured = _last_measured_secs()
+    run_steal = run_meter.finish()
+    kept_attempt = throughput_weather["attempts"][
+        throughput_weather["kept_attempt"] - 1
+    ]["steal"]
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -693,6 +817,20 @@ def main() -> None:
         "sf": sf,
         "throughput_eps": round(eps, 1),
         "throughput_events": THROUGHPUT_EVENTS,
+        # Weather self-description (VERDICT r11 item 1): hypervisor steal
+        # measured from /proc/stat across each phase, so this payload is
+        # interpretable without SCALE.md archaeology.  Scalars on the stdout
+        # line; the full per-phase/per-attempt breakdown rides the sidecar.
+        "steal_pct_run": run_steal.get("steal_pct"),
+        "throughput_steal_pct": kept_attempt.get("steal_pct"),
+        "throughput_steal_gate_ok": throughput_weather["gate_cleared"],
+        "steal": {
+            "run": run_steal,
+            "headline": headline_steal,
+            "tier2": tier2_steal,
+            "throughput": throughput_weather,
+            "stream": stream_steal,
+        },
         "stream_input_eps": 50000,
         "stream_isolation": stream_isolation,
         "jvm_heap": "16g-pinned" if _HEAP_PINNED else "inherited",
@@ -722,6 +860,7 @@ def stream_only() -> None:
     """Standalone streaming measurement (fresh JVM): prints one JSON line
     with the three exp1/exp3 numbers for the parent bench to absorb."""
     _pin_heap()
+    meter = StealMeter()
     spark = get_spark("bench-stream")
     sustained, p95, recovery, n_batches, gate = streaming_live(spark)
     print(
@@ -732,6 +871,7 @@ def stream_only() -> None:
                 "recovery_s": round(recovery, 2),
                 "stream_batches": n_batches,
                 "stream_gate": gate,
+                "stream_steal": meter.finish(),
             }
         )
     )

@@ -131,19 +131,46 @@ def run_worker(args: argparse.Namespace) -> None:
                     first = min(ids)
                 later = [i for i in ids if i > first]
                 if later:
+                    # ADVICE r11: scope pgrep to THIS app — a bare
+                    # CoarseGrainedExecutorBackend match could select a
+                    # stale executor from a previous app if one lingered.
+                    # The executor cmdline carries `--app-id <appId>`.
                     out = subprocess.run(
-                        ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+                        ["pgrep", "-f",
+                         f"CoarseGrainedExecutorBackend.*{app_id}"],
                         capture_output=True, text=True,
                     ).stdout.split()
                     pids = sorted(int(p) for p in out)
                     if pids:
+                        pid = pids[0]
+                        # Pin WHICH executor (and host) the victim is,
+                        # from its own cmdline, BEFORE signalling — the
+                        # evidence parse then reads only that executor's
+                        # work-dir stderr instead of merging both workers.
+                        exec_id = victim_host = None
+                        try:
+                            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                                argv = f.read().split(b"\0")
+
+                            def argval(flag: bytes):
+                                try:
+                                    return argv[argv.index(flag) + 1].decode()
+                                except (ValueError, IndexError):
+                                    return None
+
+                            exec_id = argval(b"--executor-id")
+                            victim_host = argval(b"--hostname")
+                        except OSError:
+                            pass
                         sig = (
                             signal.SIGPWR if mode == "decommission"
                             else signal.SIGKILL
                         )
-                        os.kill(pids[0], sig)
+                        os.kill(pid, sig)
                         victim_info.update(
-                            victim_pid=pids[0],
+                            victim_pid=pid,
+                            victim_exec_id=exec_id,
+                            victim_host=victim_host,
                             signal=signal.Signals(sig).name,
                             injected_at_s=round(time.time() - t1, 2),
                         )
@@ -171,17 +198,31 @@ def run_worker(args: argparse.Namespace) -> None:
         "groups": int(row["groups"]),
         "matches_own_baseline": int(row["checksum"]) == int(golden["checksum"])
         and int(row["groups"]) == int(golden["groups"]),
+        # ADVICE r11: a missed injection (map stage finished between polls,
+        # pgrep came back empty) must be machine-visible, not inferred from
+        # absent victim_pid keys — the orchestrator fails the run on this.
+        "injected": bool(victim_info) if mode != "baseline" else None,
         **victim_info,
     }
     # Victim-log evidence: the executor work dirs live under the cluster
-    # scratch passed by the orchestrator.
+    # scratch passed by the orchestrator.  ADVICE r11: parse ONLY the
+    # victim executor's own stderr (work*/<app>/<exec_id>/) — merging both
+    # workers' logs attributed migration lines to the victim by filter
+    # wording alone.  Falls back to the merged read (and says so) only if
+    # the exec id could not be pinned from /proc before the signal.
     if mode == "decommission" and args.scratch:
+        exec_id = victim_info.get("victim_exec_id")
+        pattern = os.path.join(
+            args.scratch, "work*", app_id, exec_id if exec_id else "*", "stderr"
+        )
         texts = []
-        for p in glob.glob(os.path.join(args.scratch, "work*", app_id, "*", "stderr")):
+        for p in glob.glob(pattern):
             with open(p, errors="replace") as f:
                 texts.append(f.read())
-        merged = "\n".join(texts)
-        out.update(parse_decommission_log(merged))
+        out["evidence_scope"] = (
+            "victim-executor" if exec_id else "merged-fallback"
+        )
+        out.update(parse_decommission_log("\n".join(texts)))
     print(json.dumps(out), flush=True)
 
 
@@ -208,7 +249,17 @@ def orchestrate(args: argparse.Namespace) -> None:
                     f"worker ({mode}) failed rc={proc.returncode}:\n"
                     f"{proc.stderr[-3000:]}"
                 )
-            runs.append(json.loads(line[-1]))
+            run = json.loads(line[-1])
+            if mode != "baseline" and not run.get("injected"):
+                # ADVICE r11: an uninjected non-baseline run is a silent
+                # baseline measurement wearing the mode's label — fail loud
+                # instead of committing a fake overhead figure.
+                raise SystemExit(
+                    f"worker ({mode}) completed WITHOUT injecting the "
+                    f"signal (stage raced the 50ms poll or pgrep matched "
+                    f"nothing): {run}"
+                )
+            runs.append(run)
     finally:
         stop_cluster(procs)
         shutil.rmtree(scratch, ignore_errors=True)

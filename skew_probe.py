@@ -42,6 +42,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -53,12 +54,18 @@ def skew_evidence(plan: str) -> dict:
     """Extract skew-split evidence from a final adaptive plan string.
 
     After an action, `AQEShuffleRead` nodes that split an oversized
-    partition print ``skewed=N`` / the SMJ prints ``skew=true``
-    (wording varies by version, so match case-insensitively on both
-    markers).  Returns the markers found and a fired/not verdict.
+    partition print ``skewed=N`` and the SMJ prints ``skew=true``.
+    ADVICE r11: a bare case-insensitive substring match on "skewed" would
+    also fire on unrelated plan text (conf echoes, node names), so the
+    match is anchored to the two known node forms — ``skewed=<digits>``
+    and the word-bounded ``skew=true`` — case-insensitively (wording case
+    varies by version, the ``marker=value`` shape does not).
     """
-    lowered = plan.lower()
-    markers = [m for m in ("skew=true", "skewed") if m in lowered]
+    markers = []
+    if re.search(r"skewed\s*=\s*\d+", plan, re.IGNORECASE):
+        markers.append("skewed=N")
+    if re.search(r"\bskew\s*=\s*true\b", plan, re.IGNORECASE):
+        markers.append("skew=true")
     return {"skew_markers": markers, "skew_split_fired": bool(markers)}
 
 

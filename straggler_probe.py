@@ -93,7 +93,15 @@ def parse_attempt_log(text: str, straggler_pid: int) -> dict:
         parts = line.strip().split(",")
         if len(parts) != 4:
             continue
-        pid, att, phase = int(parts[0]), int(parts[1]), parts[2]
+        try:
+            pid, att = int(parts[0]), int(parts[1])
+        except ValueError:
+            # ADVICE r11: two executor JVMs append concurrently; a torn/
+            # interleaved write that happens to contain 3 commas must be
+            # skipped like the len!=4 case, not crash the worker after the
+            # measured job already succeeded.
+            continue
+        phase = parts[2]
         if pid != straggler_pid:
             continue
         (started if phase == "start" else done).add(att)
@@ -172,7 +180,14 @@ def run_worker(args: argparse.Namespace) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    attempts_log = args.attempts_log or tempfile.mktemp(prefix="sgraft_straggler_")
+    if args.attempts_log:
+        attempts_log, owns_log = args.attempts_log, False
+    else:
+        # ADVICE r11: mktemp is race-prone (predictable path, TOCTOU);
+        # mkstemp creates the file atomically — executors append to it.
+        fd, attempts_log = tempfile.mkstemp(prefix="sgraft_straggler_")
+        os.close(fd)
+        owns_log = True
     speculation = args.speculation == "on"
 
     builder = (
@@ -246,6 +261,11 @@ def run_worker(args: argparse.Namespace) -> None:
     if os.path.exists(attempts_log):
         with open(attempts_log) as f:
             log_text = f.read()
+    if owns_log:  # ADVICE r11: standalone --worker runs leaked the log
+        try:
+            os.unlink(attempts_log)
+        except OSError:
+            pass
     evidence = parse_attempt_log(log_text, straggler_pid)
 
     out = {
@@ -268,7 +288,8 @@ def orchestrate(args: argparse.Namespace) -> None:
     runs = []
     try:
         for mode in ("off", "on"):
-            log_path = tempfile.mktemp(prefix=f"sgraft_straggler_{mode}_")
+            fd, log_path = tempfile.mkstemp(prefix=f"sgraft_straggler_{mode}_")
+            os.close(fd)
             cmd = [
                 sys.executable, os.path.abspath(__file__), "--worker",
                 "--speculation", mode,
@@ -278,18 +299,22 @@ def orchestrate(args: argparse.Namespace) -> None:
                 "--sleep", str(args.sleep),
                 "--attempts-log", log_path,
             ]
-            proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-            if proc.returncode != 0 or not line:
-                raise SystemExit(
-                    f"worker ({mode}) failed rc={proc.returncode}:\n"
-                    f"{proc.stderr[-3000:]}"
-                )
-            runs.append(json.loads(line[-1]))
             try:
-                os.unlink(log_path)
-            except OSError:
-                pass
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=900
+                )
+                line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+                if proc.returncode != 0 or not line:
+                    raise SystemExit(
+                        f"worker ({mode}) failed rc={proc.returncode}:\n"
+                        f"{proc.stderr[-3000:]}"
+                    )
+                runs.append(json.loads(line[-1]))
+            finally:
+                try:
+                    os.unlink(log_path)
+                except OSError:
+                    pass
     finally:
         stop_cluster(procs)
         shutil.rmtree(scratch, ignore_errors=True)

@@ -12,8 +12,21 @@ def test_detects_aqe_skew_markers_case_insensitively():
     )
     ev = skew_evidence(plan)
     assert ev["skew_split_fired"] is True
-    assert set(ev["skew_markers"]) == {"skew=true", "skewed"}
+    assert set(ev["skew_markers"]) == {"skew=true", "skewed=N"}
     assert skew_evidence("SortMergeJoin(SKEW=true)")["skew_split_fired"] is True
+
+
+def test_anchored_markers_ignore_conf_echoes_and_node_names():
+    """ADVICE r11: plan text that merely CONTAINS the word "skewed" (a conf
+    echo, a node-name fragment) must not count as the rewrite firing."""
+    noise = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor=5\n"
+        "+- SomeNode skewedPartitionThresholdInBytes: 256m\n"
+        "+- Filter (skew_flag = true)\n"
+    )
+    ev = skew_evidence(noise)
+    assert ev["skew_split_fired"] is False
+    assert ev["skew_markers"] == []
 
 
 def test_no_markers_means_rewrite_did_not_fire():

@@ -34,3 +34,22 @@ def test_no_speculation_signature_and_malformed_lines_skipped():
     assert ev["first_attempt_completed"] is True
     assert ev["straggler_attempts_started"] == [0]
     assert parse_attempt_log("", 7)["straggler_attempts_started"] == []
+
+
+def test_torn_interleaved_lines_skipped_not_crash():
+    """ADVICE r11: two executor JVMs append concurrently; a torn line with
+    exactly 3 commas but non-integer fields must be skipped, and the rest
+    of the log still parsed."""
+    log = (
+        "7,0,start,100.0\n"
+        "7,0,st7,1,start,art,100.5\n"      # interleaved, 6 fields -> len skip
+        "7,1,sta7,0,done,101.0\n"          # torn, 5 fields -> len skip
+        "7,a,start,101.5\n"                # 4 fields, non-int attempt -> skip
+        "x7,1,start,102.0\n"               # 4 fields, non-int pid -> skip
+        "7,1,start,102.5\n"
+        "7,1,done,103.0\n"
+    )
+    ev = parse_attempt_log(log, straggler_pid=7)
+    assert ev["straggler_attempts_started"] == [0, 1]
+    assert ev["speculative_copy_completed"] is True
+    assert ev["first_attempt_completed"] is False
