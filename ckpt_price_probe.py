@@ -71,9 +71,12 @@ MASTER = "local-cluster[2,8,8192]"
 def run_worker(args: argparse.Namespace) -> None:
     os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 6g pyspark-shell")
     sys.path.insert(0, REPO)
+    from bench import StealMeter  # weather self-description (r11 item 1)
     from pyspark.sql import SparkSession
 
     from kafka_spark_streaming_eval_spark.plans.registry import all_queries
+
+    meter = StealMeter()
 
     os.environ.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)  # start in local mode
     # Same engine configs as session.get_spark, on the executor-loss
@@ -182,6 +185,7 @@ def run_worker(args: argparse.Namespace) -> None:
         "reliable_premium": round(reliable_best / local_best, 3)
         if local_best
         else None,
+        "steal": meter.finish(),
     }
     if args.kill:
         out["kill_during_reliable"] = kill_info

@@ -66,7 +66,7 @@ def tail_eps(timeline: list[list]) -> float | None:
     tail_eps < rate means genuine divergence."""
     if len(timeline) < 2:
         return None
-    (t0, _), (t1, ev1) = timeline[-2], timeline[-1]
+    t0, t1, ev1 = timeline[-2][0], timeline[-1][0], timeline[-1][1]
     span = t1 - t0
     return round(ev1 / span, 1) if span > 0 else None
 
@@ -96,8 +96,34 @@ def main() -> None:
     deadline_s = (
         float(args[args.index("--deadline") + 1]) if "--deadline" in args else 150.0
     )
+    # VERDICT r11 item 6: the capacity-planning claim that the knee moves
+    # with spark.sql.shuffle.partitions needs a measured knob-shift point.
+    shuffle_parts = (
+        int(args[args.index("--shuffle-partitions") + 1])
+        if "--shuffle-partitions" in args
+        else None
+    )
 
-    spark = get_spark("sat-probe")
+    # Per-batch steal attribution (r11 item 6: one anomalous 53 s batch in
+    # sat_probe_r11_ceiling_250k_run4 had no weather evidence): each
+    # timeline entry carries the host steal-tick delta since the previous
+    # entry, so a slow batch is attributable in the artifact itself.
+    from bench import StealMeter, read_steal_ticks
+
+    run_meter = StealMeter()
+    last_steal = read_steal_ticks()
+
+    def steal_delta() -> int | None:
+        nonlocal last_steal
+        now = read_steal_ticks()
+        if now is None or last_steal is None:
+            last_steal = now
+            return None
+        d = now[0] - last_steal[0]
+        last_steal = now
+        return d
+
+    spark = get_spark("sat-probe", shuffle_partitions=shuffle_parts)
     ev = synth_events_stream(spark, rows_per_second=rate)
     wire = ev.select(
         F.to_json(
@@ -126,8 +152,10 @@ def main() -> None:
         rows_now = list(sink.rows)
         while len(timeline) < len(rows_now):
             r = rows_now[len(timeline)]
+            # entry: [offset_s, batch_events, steal_ticks_since_prev_entry]
             timeline.append(
-                [round(time.time() - t_start, 1), int(r.batch_events)]
+                [round(time.time() - t_start, 1), int(r.batch_events),
+                 steal_delta()]
             )
         idx = settle_index([int(r.batch_events) for r in rows_now], rate, settle)
         if idx is not None:
@@ -137,14 +165,25 @@ def main() -> None:
     if settled_at is None:
         print(json.dumps({"rate_eps": rate, "error": "never settled",
                           "deadline_s": deadline_s,
+                          "shuffle_partitions": shuffle_parts,
                           "tail_eps": tail_eps(timeline),
+                          "steal": run_meter.finish(),
                           "timeline": timeline[:60]}))
         query.stop()
         query.awaitTermination()
         shutil.rmtree(ckpt, ignore_errors=True)
         sys.exit(1)
     settle_offset_s = round(time.time() - t_start, 1)
-    time.sleep(run_s)
+    window_end = time.time() + run_s
+    while time.time() < window_end:  # keep per-batch steal attribution live
+        rows_now = list(sink.rows)
+        while len(timeline) < len(rows_now):
+            r = rows_now[len(timeline)]
+            timeline.append(
+                [round(time.time() - t_start, 1), int(r.batch_events),
+                 steal_delta()]
+            )
+        time.sleep(0.25)
     query.stop()
     query.awaitTermination()
 
@@ -166,11 +205,13 @@ def main() -> None:
                 "rate_eps": rate,
                 "mode": "post-settling",
                 "deadline_s": deadline_s,
+                "shuffle_partitions": shuffle_parts,
                 "settle_exact_batches": settle,
                 "settle_offset_s": settle_offset_s,
                 "sustained_eps": round(sustained, 1),
                 "p95_ms": round(p95, 1),
                 "batches": n,
+                "steal": run_meter.finish(),
                 "timeline": timeline[:60],
             }
         )

@@ -1,7 +1,7 @@
 """sat_probe contract: the settle-window selector (pure logic — the timed
 streaming run needs an idle host and runs out-of-suite)."""
 
-from sat_probe import settle_index
+from sat_probe import settle_index, tail_eps
 
 
 def test_settle_index_first_of_earliest_exact_run():
@@ -29,3 +29,11 @@ def test_tail_eps_convergence_discriminator():
     assert tail_eps([]) is None
     # zero/negative span (duplicate completion stamps) must not divide
     assert tail_eps([[10.0, 1], [10.0, 2]]) is None
+
+
+def test_tail_eps_accepts_steal_annotated_timeline():
+    """r12: timeline entries grew a third element (steal ticks since the
+    previous entry); tail_eps must read offsets/events by index, not
+    2-tuple unpacking."""
+    tl = [[10.0, 200000, 0], [11.0, 200000, 12], [12.0, 400000, None]]
+    assert tail_eps(tl) == 400000.0
