@@ -84,6 +84,10 @@ def run_worker(args: argparse.Namespace) -> None:
     spark = (
         SparkSession.builder.master(MASTER)
         .appName(f"ckpt-price-{args.query}")
+        # local-cluster's third arg (8192) is the WORKER's memory allowance;
+        # executor heap still defaults to 1g without this and the f30
+        # pagerank build OOMs (measured: "Command exited with code 52").
+        .config("spark.executor.memory", "7g")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
