@@ -204,7 +204,7 @@ def orchestrate(args: argparse.Namespace) -> None:
     for factor in args.factors:
         synth = f"/tmp/sgraft_scaleprobe_f{factor}"
         build_synth(synth, factor, tables=PROBE_TABLES)
-        plan.append((factor, synth, 2 if factor <= 30 else 1))
+        plan.append((factor, synth, args.runs if factor <= 30 else 1))
 
     runs = []
     for factor, sf_dir, nruns in plan:
