@@ -263,6 +263,7 @@ def main() -> None:
     p.add_argument("--sf-dir", default="/tmp/sgraft_scaleprobe_f30")
     p.add_argument("--runs", type=int, default=2)
     p.add_argument("--kill", action="store_true", default=None)
+    p.add_argument("--no-kill", action="store_true")
     p.add_argument("--kill-frac", type=float, default=0.5)
     p.add_argument("--factors", type=int, nargs="+", default=[30, 100])
     p.add_argument("--queries", nargs="+", default=ITER_QUERIES)
@@ -272,7 +273,7 @@ def main() -> None:
         run_worker(args)
     else:
         if args.kill is None:
-            args.kill = True
+            args.kill = not args.no_kill
         orchestrate(args)
 
 
