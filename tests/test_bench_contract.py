@@ -344,9 +344,10 @@ def test_steal_meter_monotone_and_bounded():
         assert bench.read_steal_ticks() is None
 
 
-def test_throughput_gate_keeps_least_steal_attempt(monkeypatch):
-    """Under a steal burst the gate must retry and keep the attempt with the
-    LEAST measured steal, recording every attempt in the provenance."""
+def test_throughput_gate_keeps_max_eps_attempt(monkeypatch):
+    """Under a steal burst the gate must retry and keep the attempt with
+    the HIGHEST eps (steal can only slow the machine, so max is a valid
+    capacity lower bound), recording every attempt in the provenance."""
     fakes = iter(
         [
             (900_000.0, {"available": True, "wall_s": 1.0, "steal_ticks": 50, "steal_pct": 2.5}),
@@ -407,6 +408,26 @@ def test_throughput_gate_exhausts_retries_under_sustained_steal(monkeypatch):
     assert len(prov["attempts"]) == 1 + bench.THROUGHPUT_STEAL_RETRIES
     assert prov["kept_attempt"] == 2 and eps == 850_000.0
     assert prov["gate_cleared"] is False
+
+
+def test_throughput_gate_burst_placement_shape(monkeypatch):
+    """The r12 stormy closing-run shape: the LOWEST-steal span carried the
+    burst inside its timed pass (68k eps at 4.0%) while a higher-avg-steal
+    span's bursts missed the pass (467k at 11.3%).  Max-eps must win —
+    least-steal would keep the 68k artifact — and gate_cleared must be
+    False because the kept span was not quiet."""
+    fakes = iter(
+        [
+            (467_006.1, {"available": True, "wall_s": 3.0, "steal_ticks": 900, "steal_pct": 11.276}),
+            (68_178.9, {"available": True, "wall_s": 20.0, "steal_ticks": 300, "steal_pct": 3.959}),
+            (211_446.9, {"available": True, "wall_s": 7.0, "steal_ticks": 600, "steal_pct": 8.108}),
+        ]
+    )
+    monkeypatch.setattr(bench, "throughput_eps", lambda spark: next(fakes))
+    eps, prov = bench.throughput_eps_gated(spark=None)
+    assert eps == 467_006.1 and prov["kept_attempt"] == 1
+    assert prov["gate_cleared"] is False
+    assert len(prov["attempts"]) == 3
 
 
 def test_steal_block_excluded_from_stdout_line():
