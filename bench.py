@@ -54,7 +54,7 @@ from kafka_spark_streaming_eval_spark.streaming.metrics_job import (  # noqa: E4
     parse_events,
 )
 
-def read_steal_ticks() -> tuple[int, int] | None:
+def read_steal_ticks(path: str = "/proc/stat") -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from the aggregate ``cpu`` line of
     ``/proc/stat``.  Field 9 of that line (index 7 after the "cpu" label) is
     time stolen by the hypervisor — the quantity SCALE.md's round-11 steal
@@ -64,14 +64,19 @@ def read_steal_ticks() -> tuple[int, int] | None:
     file is absent/odd (non-Linux, restricted sandbox) so callers can record
     "weather unknown" instead of a fake zero."""
     try:
-        with open("/proc/stat") as f:
+        with open(path) as f:
             parts = f.readline().split()
         if parts[0] != "cpu":
             return None
         vals = [int(x) for x in parts[1:]]
         if len(vals) < 8:
             return None
-        return vals[7], sum(vals)
+        # Denominator: first 8 fields only (user..steal).  Kernels that
+        # report guest/guest_nice (fields 9-10) already fold those ticks
+        # into user/nice, so summing the full line double-counts guest
+        # time and understates steal_pct on guest-running hosts
+        # (ADVICE r12).
+        return vals[7], sum(vals[:8])
     except (OSError, ValueError):
         return None
 
@@ -416,12 +421,13 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
             steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
         ):
             break
-        print(
-            f"bench: throughput attempt {i + 1} saw "
-            f"{steal.get('steal_pct')}% steal (> gate "
-            f"{THROUGHPUT_STEAL_GATE_PCT}%); retrying",
-            file=sys.stderr,
-        )
+        if i < THROUGHPUT_STEAL_RETRIES:
+            print(
+                f"bench: throughput attempt {i + 1} saw "
+                f"{steal.get('steal_pct')}% steal (> gate "
+                f"{THROUGHPUT_STEAL_GATE_PCT}%); retrying",
+                file=sys.stderr,
+            )
 
     kept = max(range(len(attempts)), key=lambda i: attempts[i]["eps"])
     kept_steal = attempts[kept]["steal"]
@@ -436,6 +442,67 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
         ),
     }
     return attempts[kept]["eps"], provenance
+
+
+# Wall-time phases get the same weather discipline (VERDICT r12 item 1):
+# r12's 79.64 s headline at 1.713% steal was only interpretable by
+# reconstructing r11's 56.0-88.9 s steal-calibration band.  MIN is the
+# right selector for a wall-time metric (steal can only SLOW a pass, so
+# the fastest attempt is the least-poisoned sample), exactly as MAX is for
+# the capacity metric above.  Known bias, accepted and recorded: retry
+# attempts run warmer (JIT/page cache) than attempt 1, so a gated round's
+# min can sit slightly below a quiet round's single attempt — kept_attempt
+# in the provenance makes that visible.
+HEADLINE_STEAL_RETRIES = 2
+TIER2_STEAL_RETRIES = 1
+
+
+def walltime_phase_gated(
+    run_phase, retries: int, label: str
+) -> tuple[dict[str, float], dict]:
+    """Run a timing phase with the steal gate: ``run_phase(attempt_idx)``
+    returns a ``{query: seconds}`` dict; when the phase's span saw more
+    than THROUGHPUT_STEAL_GATE_PCT hypervisor steal it is re-run (up to
+    ``retries`` extra passes) and the attempt with the LOWEST total is
+    kept.  Returns (kept timings, provenance) with every attempt's total +
+    steal recorded; gate_cleared says whether the KEPT attempt's own span
+    was quiet.  /proc/stat unavailable => first attempt kept,
+    weather-unknown, never an infinite retry."""
+    attempts: list[dict] = []
+    results: list[dict[str, float]] = []
+    for i in range(1 + retries):
+        meter = StealMeter()
+        timings = run_phase(i)
+        steal = meter.finish()
+        attempts.append({"total_s": round(sum(timings.values()), 4), "steal": steal})
+        results.append(timings)
+        if not steal.get("available"):
+            break
+        if steal.get("steal_pct") is not None and (
+            steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
+        ):
+            break
+        if i < retries:
+            print(
+                f"bench: {label} attempt {i + 1} saw "
+                f"{steal.get('steal_pct')}% steal "
+                f"(> gate {THROUGHPUT_STEAL_GATE_PCT}%); retrying",
+                file=sys.stderr,
+            )
+    kept = min(range(len(attempts)), key=lambda i: attempts[i]["total_s"])
+    kept_steal = attempts[kept]["steal"]
+    provenance = {
+        "attempts": attempts,
+        "kept_attempt": kept + 1,
+        "gate_pct": THROUGHPUT_STEAL_GATE_PCT,
+        "selector": "min-total",
+        "gate_cleared": bool(
+            kept_steal.get("available")
+            and kept_steal.get("steal_pct") is not None
+            and kept_steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
+        ),
+    }
+    return results[kept], provenance
 
 
 def stream_payload_ok(payload: dict, rate_eps: float | None = None) -> bool:
@@ -687,11 +754,15 @@ def main() -> None:
 
         random.Random(int(shuffle_seed)).shuffle(order)
 
-    headline_meter = StealMeter()
-    timings: dict[str, float] = {}
-    for name in order:
-        timings[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
-    headline_steal = headline_meter.finish()
+    def run_headline(_attempt: int) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in order:
+            t[name] = round(time_query(specs[name].fn, spark, sf_dir), 4)
+        return t
+
+    timings, headline_weather = walltime_phase_gated(
+        run_headline, HEADLINE_STEAL_RETRIES, "headline"
+    )
 
     # tier2 coverage rotation (disable with SPARK_GRAFT_BENCH_TIER2=0).
     # Wall-clock budgeted (SPARK_GRAFT_BENCH_TIER2_BUDGET_S, default 200 s —
@@ -699,23 +770,44 @@ def main() -> None:
     # r7 closing run 3, and a budget cut would delay full-registry timing
     # coverage by a round) so bench runtime stays bounded as the registry
     # grows: queries cut by the budget stay never/stalest-benched and lead
-    # the next round's rotation.
-    tier2_meter = StealMeter()
+    # the next round's rotation.  The steal gate retries re-run EXACTLY the
+    # set attempt 1 completed (budget applies only to attempt 1), so attempt
+    # totals compare the same queries.
     tier2: dict[str, float] = {}
+    tier2_weather: dict = {"attempts": [], "kept_attempt": None,
+                           "gate_pct": THROUGHPUT_STEAL_GATE_PCT,
+                           "selector": "min-total", "gate_cleared": None}
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
         tier2_budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIER2_BUDGET_S", "200"))
-        t2_start = time.perf_counter()
-        for name in tier2_rotation(specs):
-            if time.perf_counter() - t2_start > tier2_budget:
-                print(
-                    f"bench: tier2 budget {tier2_budget:.0f}s hit after "
-                    f"{len(tier2)} queries; rest stay stalest for next round",
-                    file=sys.stderr,
-                )
-                break
-            tier2[name] = round(time_query(specs[name].fn, spark, sf_dir, runs=1), 4)
+        tier2_names = tier2_rotation(specs)
+        completed: list[str] = []
 
-    tier2_steal = tier2_meter.finish()
+        def run_tier2(attempt: int) -> dict[str, float]:
+            t: dict[str, float] = {}
+            if attempt == 0:
+                t2_start = time.perf_counter()
+                for name in tier2_names:
+                    if time.perf_counter() - t2_start > tier2_budget:
+                        print(
+                            f"bench: tier2 budget {tier2_budget:.0f}s hit after "
+                            f"{len(t)} queries; rest stay stalest for next round",
+                            file=sys.stderr,
+                        )
+                        break
+                    t[name] = round(
+                        time_query(specs[name].fn, spark, sf_dir, runs=1), 4
+                    )
+                completed[:] = list(t)
+            else:
+                for name in completed:
+                    t[name] = round(
+                        time_query(specs[name].fn, spark, sf_dir, runs=1), 4
+                    )
+            return t
+
+        tier2, tier2_weather = walltime_phase_gated(
+            run_tier2, TIER2_STEAL_RETRIES, "tier2"
+        )
 
     eps, throughput_weather = throughput_eps_gated(spark)
 
@@ -826,10 +918,16 @@ def main() -> None:
         "steal_pct_run": run_steal.get("steal_pct"),
         "throughput_steal_pct": kept_attempt.get("steal_pct"),
         "throughput_steal_gate_ok": throughput_weather["gate_cleared"],
+        "headline_steal_pct": headline_weather["attempts"][
+            headline_weather["kept_attempt"] - 1
+        ]["steal"].get("steal_pct"),
+        "headline_steal_gate_ok": headline_weather["gate_cleared"],
+        "headline_attempts": len(headline_weather["attempts"]),
+        "tier2_steal_gate_ok": tier2_weather["gate_cleared"],
         "steal": {
             "run": run_steal,
-            "headline": headline_steal,
-            "tier2": tier2_steal,
+            "headline": headline_weather,
+            "tier2": tier2_weather,
             "throughput": throughput_weather,
             "stream": stream_steal,
         },

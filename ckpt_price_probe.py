@@ -197,6 +197,22 @@ def run_worker(args: argparse.Namespace) -> None:
 
 
 def orchestrate(args: argparse.Namespace) -> None:
+    # Fail-loud missed-injection guard (ADVICE r12): the kill cell is pinned
+    # to (factors[0], dedup_cluster_components).  If --kill is requested but
+    # --queries excludes that query (or no factors are given), no kill run
+    # would ever be scheduled and the probe would silently report a no-kill
+    # matrix as if the fault cell had been measured.  Same policy
+    # decommission_probe enforces.  Checked BEFORE the synth build so a
+    # misconfigured invocation fails in milliseconds, not minutes.
+    if args.kill and (
+        "dedup_cluster_components" not in args.queries or not args.factors
+    ):
+        raise SystemExit(
+            "--kill requested but the kill cell (factors[0] x "
+            "dedup_cluster_components) is not in the plan; add the query / "
+            "a factor or drop --kill."
+        )
+
     sys.path.insert(0, REPO)
     from scale_probe import build_synth
 
@@ -207,6 +223,7 @@ def orchestrate(args: argparse.Namespace) -> None:
         plan.append((factor, synth, args.runs if factor <= 30 else 1))
 
     runs = []
+    kill_scheduled = False
     for factor, sf_dir, nruns in plan:
         for query in args.queries:
             kill = (
@@ -214,6 +231,7 @@ def orchestrate(args: argparse.Namespace) -> None:
                 and factor == args.factors[0]
                 and query == "dedup_cluster_components"
             )
+            kill_scheduled = kill_scheduled or kill
             cmd = [
                 sys.executable, os.path.abspath(__file__), "--worker",
                 "--query", query, "--sf-dir", sf_dir, "--runs", str(nruns),
@@ -239,6 +257,14 @@ def orchestrate(args: argparse.Namespace) -> None:
                 f"premium {rec['reliable_premium']}x",
                 file=sys.stderr, flush=True,
             )
+
+    if args.kill and not kill_scheduled:
+        # Covers orderings the pre-loop guard can't see (e.g. an empty
+        # factor plan): never let a requested fault injection vanish.
+        raise SystemExit(
+            "--kill requested but no kill run was scheduled by the plan "
+            "loop; refusing to emit a matrix that looks fault-measured."
+        )
 
     result = {
         "probe": "reliable_checkpoint_price",

@@ -215,13 +215,24 @@ def run_worker(args: argparse.Namespace) -> None:
         pattern = os.path.join(
             args.scratch, "work*", app_id, exec_id if exec_id else "*", "stderr"
         )
+        files = glob.glob(pattern)
+        # ADVICE r12: a pinned exec_id whose glob matches ZERO files (work
+        # dir layout drift, early cleanup) must not report absent migration
+        # evidence as "measured on the victim's log" — fall back to the
+        # merged read and label the scope honestly, recording the matched
+        # file count either way.
+        if exec_id and not files:
+            pattern = os.path.join(args.scratch, "work*", app_id, "*", "stderr")
+            files = glob.glob(pattern)
+            exec_id = None
         texts = []
-        for p in glob.glob(pattern):
+        for p in files:
             with open(p, errors="replace") as f:
                 texts.append(f.read())
         out["evidence_scope"] = (
             "victim-executor" if exec_id else "merged-fallback"
         )
+        out["evidence_files"] = len(files)
         out.update(parse_decommission_log("\n".join(texts)))
     print(json.dumps(out), flush=True)
 

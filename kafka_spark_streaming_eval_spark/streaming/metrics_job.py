@@ -62,12 +62,28 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     )
 
 
-def parse_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_events(
+    raw: DataFrame, value_col: str = "value", fields: list[str] | None = None
+) -> DataFrame:
     """Kafka bytes -> typed event columns: cast, from_json with the explicit
-    schema, struct flatten (spark_stream_metrics.py:43-45)."""
+    schema, struct flatten (spark_stream_metrics.py:43-45).
+
+    ``fields`` optionally restricts the decoded schema to a subset of the
+    wire columns.  NOTE (r13 parse-knee probe): Catalyst's
+    OptimizeJsonExprs rule already prunes the from_json schema to the
+    columns a downstream plan actually uses (verified on the
+    batch_metrics plan: the optimized plan's from_json carries only
+    created_ts), so passing ``fields`` is for plans that defeat the rule
+    (e.g. a checkpointed stream whose analyzed plan is pinned) and for
+    measuring rule parity — it is NOT needed for ordinary pipelines."""
+    if fields is None:
+        schema = EVENT_WIRE_SCHEMA
+    else:
+        want = set(fields)
+        schema = T.StructType([f for f in EVENT_WIRE_SCHEMA.fields if f.name in want])
     return (
         raw.select(F.col(value_col).cast("string").alias("json"))
-        .select(F.from_json("json", EVENT_WIRE_SCHEMA).alias("e"))
+        .select(F.from_json("json", schema).alias("e"))
         .select("e.*")
     )
 

@@ -103,6 +103,21 @@ def main() -> None:
         if "--shuffle-partitions" in args
         else None
     )
+    # VERDICT r12 item 6: the 250k knee is parse-bound — probe whether a
+    # cheaper wire decode moves it.  Variants:
+    #   full   — parse_events, full wire schema (baseline; Catalyst's
+    #            OptimizeJsonExprs already prunes it to created_ts in the
+    #            optimized plan, verified r13)
+    #   pruned — parse_events(fields=["created_ts"]): the explicit version
+    #            of the pruning the optimizer does; expected = full, and a
+    #            gap would mean the rule is NOT firing in the streaming plan
+    #   regex  — regexp_extract of created_ts straight off the wire string:
+    #            skips JSON tokenization entirely (Jackson still scans the
+    #            whole string under a pruned schema), the only variant that
+    #            can beat the optimizer
+    parse_variant = args[args.index("--parse") + 1] if "--parse" in args else "full"
+    if parse_variant not in ("full", "pruned", "regex"):
+        raise SystemExit(f"unknown --parse variant {parse_variant!r}")
 
     # Per-batch steal attribution (r11 item 6: one anomalous 53 s batch in
     # sat_probe_r11_ceiling_250k_run4 had no weather evidence): each
@@ -139,8 +154,20 @@ def main() -> None:
     )
     ckpt = tempfile.mkdtemp(prefix="sat_ckpt_")
     collector = MetricsCollector()
+    if parse_variant == "full":
+        parsed = parse_events(wire)
+    elif parse_variant == "pruned":
+        parsed = parse_events(wire, fields=["created_ts"])
+    else:  # regex: created_ts is always a bare integer on this wire
+        parsed = wire.select(
+            F.regexp_extract(
+                F.col("value").cast("string"), '"created_ts":(-?\\d+)', 1
+            )
+            .cast("long")
+            .alias("created_ts")
+        )
     query, sink = run_metrics_stream(
-        parse_events(wire), ckpt, trigger_sec=1, collector=collector
+        parsed, ckpt, trigger_sec=1, collector=collector
     )
 
     t_start = time.time()
@@ -163,7 +190,8 @@ def main() -> None:
             break
         time.sleep(0.25)
     if settled_at is None:
-        print(json.dumps({"rate_eps": rate, "error": "never settled",
+        print(json.dumps({"rate_eps": rate, "parse": parse_variant,
+                          "error": "never settled",
                           "deadline_s": deadline_s,
                           "shuffle_partitions": shuffle_parts,
                           "tail_eps": tail_eps(timeline),
@@ -203,6 +231,7 @@ def main() -> None:
         json.dumps(
             {
                 "rate_eps": rate,
+                "parse": parse_variant,
                 "mode": "post-settling",
                 "deadline_s": deadline_s,
                 "shuffle_partitions": shuffle_parts,

@@ -329,6 +329,18 @@ def test_read_steal_ticks_shape():
         assert 0 <= steal <= total
 
 
+def test_read_steal_ticks_denominator_excludes_guest_fields(tmp_path):
+    """Kernels reporting guest/guest_nice (fields 9-10) already fold those
+    ticks into user/nice, so the total-tick denominator must sum only the
+    first 8 fields (user..steal) — a full-line sum double-counts guest time
+    and understates steal_pct on guest-running hosts (ADVICE r12)."""
+    stat = tmp_path / "stat"
+    #            user nice sys idle iowait irq softirq steal guest guest_nice
+    stat.write_text("cpu  100 10 50 800 5 1 4 30 100 10\nintr 0\n")
+    got = bench.read_steal_ticks(str(stat))
+    assert got == (30, 100 + 10 + 50 + 800 + 5 + 1 + 4 + 30)
+
+
 def test_steal_meter_monotone_and_bounded():
     """A finished meter over a short busy span reports a bounded percentage
     and non-negative tick delta (ticks are cumulative counters)."""
@@ -394,12 +406,18 @@ def test_throughput_gate_handles_no_proc_stat(monkeypatch):
 
 def test_throughput_gate_exhausts_retries_under_sustained_steal(monkeypatch):
     """A steal window longer than the retry budget: all attempts recorded,
-    least-steal kept, gate_cleared False so the sidecar shows the number is
+    the max-eps attempt kept (commit b2e4ccc: capacity is the quantity, and
+    steal can only depress it, so max is the least-poisoned sample),
+    gate_cleared False so the sidecar shows the number is
     weather-contaminated."""
+    # Max-eps attempt (2) is deliberately NOT the least-steal attempt (1):
+    # the assertion below fails under a least-steal selector, so this
+    # fixture pins the policy rather than passing by coincidence
+    # (ADVICE r12).
     fakes = iter(
         [
-            (800_000.0, {"available": True, "wall_s": 1.0, "steal_ticks": 90, "steal_pct": 4.0}),
-            (850_000.0, {"available": True, "wall_s": 1.0, "steal_ticks": 40, "steal_pct": 1.8}),
+            (800_000.0, {"available": True, "wall_s": 1.0, "steal_ticks": 40, "steal_pct": 1.8}),
+            (850_000.0, {"available": True, "wall_s": 1.0, "steal_ticks": 90, "steal_pct": 4.0}),
             (820_000.0, {"available": True, "wall_s": 1.0, "steal_ticks": 60, "steal_pct": 2.9}),
         ]
     )
@@ -428,6 +446,110 @@ def test_throughput_gate_burst_placement_shape(monkeypatch):
     assert eps == 467_006.1 and prov["kept_attempt"] == 1
     assert prov["gate_cleared"] is False
     assert len(prov["attempts"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Wall-time phase gate (VERDICT r12 item 1): headline/tier2 retry under
+# steal with MIN-total keep — the inverse selector of the capacity gate.
+
+
+def _meter_seq(monkeypatch, steals):
+    """Patch StealMeter so successive instances report the given dicts."""
+    seq = iter(steals)
+
+    class FakeMeter:
+        def __init__(self):
+            self._out = next(seq)
+
+        def finish(self):
+            return self._out
+
+    monkeypatch.setattr(bench, "StealMeter", FakeMeter)
+
+
+def test_walltime_gate_quiet_first_attempt_no_retry(monkeypatch):
+    """A quiet first span is kept as-is: one attempt, gate_cleared True."""
+    _meter_seq(monkeypatch, [
+        {"available": True, "wall_s": 60.0, "steal_ticks": 2, "steal_pct": 0.01},
+    ])
+    calls = []
+
+    def phase(i):
+        calls.append(i)
+        return {"q1": 1.0, "q2": 2.0}
+
+    timings, prov = bench.walltime_phase_gated(phase, retries=2, label="headline")
+    assert calls == [0]
+    assert timings == {"q1": 1.0, "q2": 2.0}
+    assert prov["kept_attempt"] == 1 and prov["gate_cleared"] is True
+    assert prov["selector"] == "min-total"
+    assert prov["attempts"][0]["total_s"] == 3.0
+
+
+def test_walltime_gate_retries_and_keeps_min_total(monkeypatch):
+    """Under sustained steal all retries run and the FASTEST total is kept
+    (steal can only slow a pass) — the min-total attempt here is neither
+    the first nor the least-steal one, so this pins the selector."""
+    _meter_seq(monkeypatch, [
+        {"available": True, "wall_s": 80.0, "steal_ticks": 90, "steal_pct": 1.7},
+        {"available": True, "wall_s": 60.0, "steal_ticks": 99, "steal_pct": 2.4},
+        {"available": True, "wall_s": 70.0, "steal_ticks": 40, "steal_pct": 0.9},
+    ])
+    walls = iter([{"q": 80.0}, {"q": 60.0}, {"q": 70.0}])
+    timings, prov = bench.walltime_phase_gated(
+        lambda i: next(walls), retries=bench.HEADLINE_STEAL_RETRIES,
+        label="headline",
+    )
+    assert len(prov["attempts"]) == 1 + bench.HEADLINE_STEAL_RETRIES
+    assert prov["kept_attempt"] == 2 and timings == {"q": 60.0}
+    assert prov["gate_cleared"] is False  # kept span itself was stormy
+
+
+def test_walltime_gate_stops_at_first_quiet_retry(monkeypatch):
+    """A stormy first attempt followed by a quiet retry stops there and the
+    quiet (faster) attempt is kept with gate_cleared True."""
+    _meter_seq(monkeypatch, [
+        {"available": True, "wall_s": 80.0, "steal_ticks": 90, "steal_pct": 3.1},
+        {"available": True, "wall_s": 56.0, "steal_ticks": 1, "steal_pct": 0.02},
+    ])
+    walls = iter([{"q": 80.0}, {"q": 56.0}])
+    timings, prov = bench.walltime_phase_gated(
+        lambda i: next(walls), retries=2, label="headline"
+    )
+    assert len(prov["attempts"]) == 2
+    assert prov["kept_attempt"] == 2 and timings == {"q": 56.0}
+    assert prov["gate_cleared"] is True
+
+
+def test_walltime_gate_weather_unknown_single_attempt(monkeypatch):
+    """No /proc/stat: one attempt, kept, gate_cleared False — never a retry
+    loop and never a fabricated quiet claim."""
+    _meter_seq(monkeypatch, [{"available": False, "wall_s": 60.0}])
+    calls = []
+
+    def phase(i):
+        calls.append(i)
+        return {"q": 60.0}
+
+    timings, prov = bench.walltime_phase_gated(phase, retries=2, label="tier2")
+    assert calls == [0]
+    assert prov["gate_cleared"] is False and prov["kept_attempt"] == 1
+
+
+def test_walltime_gate_scalars_survive_stdout_budget():
+    """The headline gate scalars ride the stdout line; the nested attempts
+    provenance is sidecar-only (inside the stripped ``steal`` block)."""
+    full = _fake_full_payload(60)
+    full["headline_steal_pct"] = 0.02
+    full["headline_steal_gate_ok"] = True
+    full["headline_attempts"] = 1
+    full["tier2_steal_gate_ok"] = True
+    full["steal"] = {"headline": {"attempts": [{"total_s": 41.1}]}}
+    slim = bench.budget_stdout_payload(full)
+    assert "steal" not in slim
+    assert slim["headline_steal_gate_ok"] is True
+    assert slim["headline_attempts"] == 1
+    assert slim["tier2_steal_gate_ok"] is True
 
 
 def test_steal_block_excluded_from_stdout_line():

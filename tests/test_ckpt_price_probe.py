@@ -18,3 +18,22 @@ def test_probe_tables_cover_known_scans():
     # graph_* scan lineitem+orders (dims carry over unchanged in
     # build_synth); components + DSIR scan documents.
     assert {"documents", "lineitem", "orders"} <= PROBE_TABLES
+
+
+def test_kill_without_kill_cell_fails_loud():
+    """ADVICE r12: --kill with --queries excluding dedup_cluster_components
+    (or an empty factor plan) must refuse before any work — a silently
+    unscheduled kill cell would report a no-kill matrix as fault-measured."""
+    import argparse
+
+    import pytest
+
+    from ckpt_price_probe import orchestrate
+
+    base = dict(runs=1, kill=True, kill_frac=0.5, out="/tmp/x.json")
+    with pytest.raises(SystemExit, match="kill cell"):
+        orchestrate(argparse.Namespace(
+            factors=[30], queries=["graph_pagerank_trade"], **base))
+    with pytest.raises(SystemExit, match="kill cell"):
+        orchestrate(argparse.Namespace(
+            factors=[], queries=["dedup_cluster_components"], **base))

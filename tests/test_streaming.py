@@ -56,6 +56,39 @@ def test_parse_events_roundtrip(spark):
     assert nulls == 2
 
 
+def test_parse_events_pruned_fields(spark):
+    """``fields=`` restricts the decoded schema to a wire-column subset and
+    the values match the full parse (r13 parse-knee probe plumbing).  Also
+    pins the optimizer behavior the probe relies on: the optimized plan of
+    a created_ts-only consumer carries a pruned from_json schema even
+    WITHOUT ``fields`` (Catalyst OptimizeJsonExprs)."""
+    ev = synth_events_batch(spark, 100)
+    wire = ev.select(
+        F.to_json(
+            F.struct("event_id", "created_ts", "user_id", "event_type", "value", "payload")
+        ).alias("value")
+    )
+    pruned = parse_events(wire, fields=["created_ts"])
+    assert pruned.columns == ["created_ts"]
+    a = sorted(r.created_ts for r in parse_events(wire).select("created_ts").collect())
+    b = sorted(r.created_ts for r in pruned.collect())
+    assert a == b
+    # optimizer prunes the full-schema parse down to the consumed column —
+    # scope the check to the from_json schema (the wire-producing to_json
+    # struct upstream legitimately names every field)
+    import re
+
+    consumer = parse_events(wire).select("created_ts")
+    plan = consumer._jdf.queryExecution().optimizedPlan().toString()
+    # schema prints as a comma-joined StructField list right after
+    # "from_json(", ending at the input expression (a column ref or the
+    # collapsed to_json invoke)
+    m = re.search(r"from_json\(((?:StructField\([^)]*\),?)+)", plan)
+    assert m, f"no from_json in optimized plan: {plan[:300]}"
+    assert "created_ts" in m.group(1)
+    assert "event_type" not in m.group(1)  # unused wire fields pruned
+
+
 def test_metrics_stream_and_checkpoint_recovery(spark, tmp_path):
     """exp3 semantics: run, stop, append data, restart from the checkpoint —
     every batch processed exactly once, no reprocessing after restart."""
