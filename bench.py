@@ -81,6 +81,28 @@ def read_steal_ticks(path: str = "/proc/stat") -> tuple[int, int] | None:
         return None
 
 
+def read_pressure_totals() -> dict[str, int] | None:
+    """Cumulative stall totals (microseconds) from the PSI files:
+    ``cpu_some``, ``io_some``, ``io_full``.  VERDICT r13 item 3: the
+    throughput gate saw a QUIET attempt run 7x slower than a noisy one
+    (210k eps at 0.048% steal vs 1.47M at 0.538%), so steal alone is
+    blind to whatever governed it — page-cache eviction by the previous
+    1M-event pass shows up as io stall, runqueue contention as cpu
+    stall.  Returns None when /proc/pressure is absent (PSI off,
+    non-Linux) so callers record "pressure unknown" instead of zeros."""
+    out: dict[str, int] = {}
+    try:
+        for res, kinds in (("cpu", ("some",)), ("io", ("some", "full"))):
+            with open(f"/proc/pressure/{res}") as f:
+                for line in f:
+                    kind = line.split(None, 1)[0]
+                    if kind in kinds:
+                        out[f"{res}_{kind}"] = int(line.rsplit("total=", 1)[1])
+    except (OSError, ValueError, IndexError):
+        return None
+    return out or None
+
+
 class StealMeter:
     """Delta-based hypervisor-steal measurement over one bench phase.
 
@@ -88,25 +110,45 @@ class StealMeter:
     weather-self-describing — BENCH_r11.json carried a 22x throughput_eps
     artifact that only SCALE.md archaeology could explain because the
     payload had no steal field.  Construct at phase start, ``finish()`` at
-    phase end; the dict is embedded in the payload per phase."""
+    phase end; the dict is embedded in the payload per phase.
+
+    The dict also carries (r14):
+    - ``denominator: "first8"`` — r13 changed read_steal_ticks to divide by
+      the first 8 /proc/stat fields instead of the full line, which reads
+      HIGHER than every pre-r13 sidecar on guest-running hosts; the stamp
+      keeps cross-round band comparisons interpretable (ADVICE r13).
+    - ``pressure_stall_ms`` — PSI cpu/io stall-time deltas over the span,
+      the non-steal diagnostic for quiet-but-slow attempts (VERDICT r13
+      item 3).  Omitted when /proc/pressure is unavailable at either end.
+    """
 
     def __init__(self) -> None:
         self._start = read_steal_ticks()
+        self._p0 = read_pressure_totals()
         self._t0 = time.time()
 
     def finish(self) -> dict:
         end = read_steal_ticks()
+        p1 = read_pressure_totals()
         wall = round(time.time() - self._t0, 2)
         if self._start is None or end is None:
             return {"available": False, "wall_s": wall}
         dsteal = end[0] - self._start[0]
         dtotal = end[1] - self._start[1]
-        return {
+        out = {
             "available": True,
             "wall_s": wall,
             "steal_ticks": dsteal,
             "steal_pct": round(100.0 * dsteal / dtotal, 3) if dtotal > 0 else None,
+            "denominator": "first8",
         }
+        if self._p0 is not None and p1 is not None:
+            out["pressure_stall_ms"] = {
+                k: round((p1[k] - self._p0[k]) / 1000.0, 1)
+                for k in self._p0
+                if k in p1
+            }
+        return out
 
 
 # Retry gate for the batch throughput pass (mirrors how stream_payload_ok
@@ -417,9 +459,12 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
         attempts.append({"eps": round(eps, 1), "steal": steal})
         if not steal.get("available"):
             break
-        if steal.get("steal_pct") is not None and (
-            steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
-        ):
+        if steal.get("steal_pct") is None:
+            # zero total-tick delta over a very short span: weather-UNKNOWN,
+            # not stormy — keep the attempt rather than burning every retry
+            # on a span /proc/stat cannot resolve (ADVICE r13).
+            break
+        if steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT:
             break
         if i < THROUGHPUT_STEAL_RETRIES:
             print(
@@ -429,17 +474,37 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
                 file=sys.stderr,
             )
 
+    def _quiet(a: dict) -> bool:
+        s = a["steal"]
+        return bool(
+            s.get("available")
+            and s.get("steal_pct") is not None
+            and s["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
+        )
+
+    # Anomaly retry (VERDICT r13 item 3): r13's attempt 2 measured 210k eps
+    # at 0.048% steal against attempt 1's 1.47M at 0.538% — a QUIET span 7x
+    # slower than a noisy one means something besides steal governed it
+    # (page-cache state after the previous 1M-event pass, JIT, cpufreq; the
+    # pressure_stall_ms deltas now in every attempt's steal dict are the
+    # diagnostic).  One extra attempt is allowed in that shape so
+    # gate_cleared can be EARNED by a quiet-and-fast span rather than
+    # waived; without it the gate breaks on the first quiet attempt no
+    # matter how implausibly slow it is.
+    anomaly_retry = False
+    quiet_eps = [a["eps"] for a in attempts if _quiet(a)]
+    if quiet_eps and max(a["eps"] for a in attempts) > 2 * max(quiet_eps):
+        anomaly_retry = True
+        eps, steal = throughput_eps(spark)
+        attempts.append({"eps": round(eps, 1), "steal": steal})
+
     kept = max(range(len(attempts)), key=lambda i: attempts[i]["eps"])
-    kept_steal = attempts[kept]["steal"]
     provenance = {
         "attempts": attempts,
         "kept_attempt": kept + 1,
         "gate_pct": THROUGHPUT_STEAL_GATE_PCT,
-        "gate_cleared": bool(
-            kept_steal.get("available")
-            and kept_steal.get("steal_pct") is not None
-            and kept_steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
-        ),
+        "anomaly_retry": anomaly_retry,
+        "gate_cleared": _quiet(attempts[kept]),
     }
     return attempts[kept]["eps"], provenance
 
@@ -455,6 +520,7 @@ def throughput_eps_gated(spark) -> tuple[float, dict]:
 # in the provenance makes that visible.
 HEADLINE_STEAL_RETRIES = 2
 TIER2_STEAL_RETRIES = 1
+STREAM_STEAL_RETRIES = 2
 
 
 def walltime_phase_gated(
@@ -478,9 +544,12 @@ def walltime_phase_gated(
         results.append(timings)
         if not steal.get("available"):
             break
-        if steal.get("steal_pct") is not None and (
-            steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
-        ):
+        if steal.get("steal_pct") is None:
+            # zero total-tick delta over a very short span: weather-UNKNOWN,
+            # not stormy — keep, gate_cleared False, don't burn the retries
+            # (ADVICE r13; matches the available=False path).
+            break
+        if steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT:
             break
         if i < retries:
             print(
@@ -503,6 +572,129 @@ def walltime_phase_gated(
         ),
     }
     return results[kept], provenance
+
+
+def _run_stream_subprocess(timeout: float = 300.0) -> dict:
+    """One ``--stream-only`` run in a fresh JVM; returns the parsed payload.
+
+    Raises on subprocess failure, unparseable stdout, or an implausible
+    payload (``stream_payload_ok`` — sentinel / catch-up / short-window
+    shapes).  Split out of main() so the stream gate can be contract-tested
+    without launching JVMs."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--stream-only"],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=dict(os.environ),
+    )
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    if not stream_payload_ok(payload, rate_eps=50_000):
+        raise ValueError(f"implausible streaming payload {payload}")
+    return payload
+
+
+def _steal_quiet(steal: dict) -> bool:
+    """True iff a StealMeter dict attests a quiet span (measured, below the
+    gate).  available=False and steal_pct=None are both NOT quiet — they
+    are weather-unknown, which can never clear a gate."""
+    return bool(
+        steal.get("available")
+        and steal.get("steal_pct") is not None
+        and steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT
+    )
+
+
+def stream_phase_gated() -> tuple[dict | None, dict]:
+    """The streaming phase under the steal gate (VERDICT r13 item 2 — this
+    was the last ungated bench phase; r13's three streaming numbers ran at
+    1.39% steal with no retry).  Runs the ``--stream-only`` subprocess and,
+    when the attempt's own steal span (measured inside the subprocess
+    around the whole stream run) exceeds THROUGHPUT_STEAL_GATE_PCT, re-runs
+    up to STREAM_STEAL_RETRIES extra times.  An invalid payload also
+    consumes an attempt and retries (subsuming the old two-try validity
+    loop).
+
+    Selection is PER-METRIC, each with the selector under which steal is
+    one-sided noise: sustained eps = MAX across valid attempts (capacity —
+    steal can only depress it), p95 = MIN and recovery = MIN (wall-times —
+    steal can only stretch them).  stream_batches / stream_gate ride with
+    the max-sustained attempt.  ``gate_cleared`` is True only when EVERY
+    attempt contributing a kept metric had a quiet span.
+
+    Returns ``(metrics, provenance)``; metrics is None when no attempt
+    produced a valid payload (caller falls back to the in-process path,
+    recording its own steal under ``fallback_steal``)."""
+    attempts: list[dict] = []
+    for i in range(1 + STREAM_STEAL_RETRIES):
+        try:
+            payload = _run_stream_subprocess()
+        except Exception as exc:
+            print(
+                f"bench: --stream-only attempt {i + 1} failed ({exc!r})",
+                file=sys.stderr,
+            )
+            attempts.append({"valid": False, "err": repr(exc)[:300]})
+            continue
+        steal = payload.get("stream_steal") or {"available": False}
+        attempts.append(
+            {
+                "valid": True,
+                "sustained_eps": payload["stream_sustained_eps"],
+                "p95_ms": payload["stream_p95_latency_ms"],
+                "recovery_s": payload["recovery_s"],
+                "batches": payload.get("stream_batches"),
+                "gate": payload.get("stream_gate"),
+                "steal": steal,
+            }
+        )
+        if not steal.get("available") or steal.get("steal_pct") is None:
+            break  # weather-unknown: keep, never retry forever (ADVICE r13)
+        if steal["steal_pct"] <= THROUGHPUT_STEAL_GATE_PCT:
+            break
+        if i < STREAM_STEAL_RETRIES:
+            print(
+                f"bench: stream attempt {i + 1} saw {steal['steal_pct']}% "
+                f"steal (> gate {THROUGHPUT_STEAL_GATE_PCT}%); retrying",
+                file=sys.stderr,
+            )
+
+    provenance: dict = {
+        # per-attempt records minus the bulky stream_gate timeline (the kept
+        # attempt's gate ships as the payload's top-level stream_gate)
+        "attempts": [
+            {k: v for k, v in a.items() if k != "gate"} for a in attempts
+        ],
+        "gate_pct": THROUGHPUT_STEAL_GATE_PCT,
+        "selector": "max-sustained/min-p95/min-recovery",
+    }
+    idx_valid = [i for i, a in enumerate(attempts) if a.get("valid")]
+    if not idx_valid:
+        provenance.update(kept=None, gate_cleared=None)
+        return None, provenance
+    i_sus = max(idx_valid, key=lambda i: attempts[i]["sustained_eps"])
+    i_p95 = min(idx_valid, key=lambda i: attempts[i]["p95_ms"])
+    i_rec = min(idx_valid, key=lambda i: attempts[i]["recovery_s"])
+    provenance.update(
+        kept={
+            "sustained_attempt": i_sus + 1,
+            "p95_attempt": i_p95 + 1,
+            "recovery_attempt": i_rec + 1,
+        },
+        gate_cleared=all(
+            _steal_quiet(attempts[i]["steal"]) for i in {i_sus, i_p95, i_rec}
+        ),
+    )
+    metrics = {
+        "stream_sustained_eps": attempts[i_sus]["sustained_eps"],
+        "stream_p95_latency_ms": attempts[i_p95]["p95_ms"],
+        "recovery_s": attempts[i_rec]["recovery_s"],
+        "stream_batches": attempts[i_sus]["batches"],
+        "stream_gate": attempts[i_sus]["gate"],
+    }
+    return metrics, provenance
 
 
 def stream_payload_ok(payload: dict, rate_eps: float | None = None) -> bool:
@@ -771,8 +963,10 @@ def main() -> None:
     # coverage by a round) so bench runtime stays bounded as the registry
     # grows: queries cut by the budget stay never/stalest-benched and lead
     # the next round's rotation.  The steal gate retries re-run EXACTLY the
-    # set attempt 1 completed (budget applies only to attempt 1), so attempt
-    # totals compare the same queries.
+    # set attempt 1 completed, so attempt totals compare the same queries —
+    # i.e. the env var is a PER-ATTEMPT budget (ADVICE r13): a stormy first
+    # attempt triggers one full re-run of the completed set, so worst-case
+    # tier2 wall time is ~(1 + TIER2_STEAL_RETRIES) x the budget.
     tier2: dict[str, float] = {}
     tier2_weather: dict = {"attempts": [], "kept_attempt": None,
                            "gate_pct": THROUGHPUT_STEAL_GATE_PCT,
@@ -826,39 +1020,19 @@ def main() -> None:
     stream_eps = stream_p95 = recovery_s = None
     stream_batches = None
     stream_gate = None
-    stream_steal = None
     stream_isolation = "subprocess"
-    import subprocess
 
-    for attempt in (1, 2):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--stream-only"],
-                capture_output=True,
-                text=True,
-                timeout=300,
-                env=dict(os.environ),
-            )
-            payload = json.loads(proc.stdout.strip().splitlines()[-1])
-            if not stream_payload_ok(payload, rate_eps=50_000):
-                raise ValueError(f"implausible streaming payload {payload}")
-            stream_eps = payload["stream_sustained_eps"]
-            stream_p95 = payload["stream_p95_latency_ms"]
-            recovery_s = payload["recovery_s"]
-            stream_batches = payload.get("stream_batches")
-            stream_gate = payload.get("stream_gate")
-            stream_steal = payload.get("stream_steal")
-            break
-        except Exception as exc:
-            print(
-                f"bench: --stream-only subprocess attempt {attempt} failed "
-                f"({exc!r})",
-                file=sys.stderr,
-            )
+    stream_metrics, stream_weather = stream_phase_gated()
+    if stream_metrics is not None:
+        stream_eps = stream_metrics["stream_sustained_eps"]
+        stream_p95 = stream_metrics["stream_p95_latency_ms"]
+        recovery_s = stream_metrics["recovery_s"]
+        stream_batches = stream_metrics["stream_batches"]
+        stream_gate = stream_metrics["stream_gate"]
     if stream_eps is None:
         # settled in-process fallback (pre-r5 methodology)
         print(
-            "bench: both --stream-only attempts failed; "
+            "bench: all --stream-only attempts failed; "
             "falling back to in-process streaming measurement",
             file=sys.stderr,
         )
@@ -870,7 +1044,11 @@ def main() -> None:
         stream_eps, stream_p95, recovery_s, stream_batches, stream_gate = (
             streaming_live(spark)
         )
-        stream_steal = fallback_meter.finish()
+        fallback_steal = fallback_meter.finish()
+        stream_weather["fallback_steal"] = fallback_steal
+        # An in-process fallback still earns gate_cleared only if ITS span
+        # was quiet — methodology is degraded but weather attestation is not.
+        stream_weather["gate_cleared"] = _steal_quiet(fallback_steal)
         # The fallback triple gets the SAME plausibility gate as the
         # subprocess path: a starved/backlogged in-process run can produce
         # the identical sentinel / catch-up shapes (the r7 incident), and
@@ -924,12 +1102,14 @@ def main() -> None:
         "headline_steal_gate_ok": headline_weather["gate_cleared"],
         "headline_attempts": len(headline_weather["attempts"]),
         "tier2_steal_gate_ok": tier2_weather["gate_cleared"],
+        "stream_steal_gate_ok": stream_weather.get("gate_cleared"),
+        "stream_attempts": len(stream_weather["attempts"]),
         "steal": {
             "run": run_steal,
             "headline": headline_weather,
             "tier2": tier2_weather,
             "throughput": throughput_weather,
-            "stream": stream_steal,
+            "stream": stream_weather,
         },
         "stream_input_eps": 50000,
         "stream_isolation": stream_isolation,

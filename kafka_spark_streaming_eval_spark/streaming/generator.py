@@ -19,6 +19,44 @@ from pyspark.sql import functions as F
 EVENT_TYPES = ("click", "view", "purchase", "login")  # producer.py:42
 BASE_TS_MS = 1_700_000_000_000  # fixed epoch anchor replacing wall-clock
 
+# Wire field order — shared by the JSON wire (reference parity,
+# producer.py:38-45) and the positional CSV wire (r14).  created_ts before
+# the free-form payload field is load-bearing for the probe-only regex
+# decode (sat_probe.py).
+WIRE_FIELD_ORDER = (
+    "event_id", "created_ts", "user_id", "event_type", "value", "payload",
+)
+
+
+def to_wire(
+    events: DataFrame, fmt: str = "json", created_ts: Column | None = None
+) -> DataFrame:
+    """Encode event columns into the ONE wire string column ``value``.
+
+    ``fmt="json"`` is the reference's wire format (producer.py:47:
+    ``json.dumps`` per event).  ``fmt="csv"`` is the structured delimited
+    wire the r13 parse-knee experiment motivates: the JSON ingest knee is
+    bytes-per-record-bound in Jackson's tokenizer (~500k eps/node full
+    parse, SCALE.md round 13), and a positional format replaces per-record
+    key scanning with delimiter splits.  Univocity (Spark's CSV parser)
+    still quotes/escapes any field containing the delimiter, so the wire
+    stays general — the generator's own fields (hex event_id, numerics,
+    four bare words, comma-free padding) never need quoting.
+
+    ``created_ts`` optionally overrides the deterministic created_ts with a
+    real emission-time column (the streaming probes pass
+    ``unix_millis("ts")``)."""
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"unknown wire format {fmt!r}")
+    cols = [
+        created_ts.alias("created_ts")
+        if name == "created_ts" and created_ts is not None
+        else name
+        for name in WIRE_FIELD_ORDER
+    ]
+    enc = F.to_json if fmt == "json" else F.to_csv
+    return events.select(enc(F.struct(*cols)).alias("value"))
+
 
 def event_columns(seq: Column, rate_eps: int = 1000, size: int = 200) -> list[Column]:
     """Event fields as pure column functions of the sequence number ``seq``

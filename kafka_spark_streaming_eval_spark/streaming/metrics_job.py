@@ -63,7 +63,10 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
 
 
 def parse_events(
-    raw: DataFrame, value_col: str = "value", fields: list[str] | None = None
+    raw: DataFrame,
+    value_col: str = "value",
+    fields: list[str] | None = None,
+    wire: str = "json",
 ) -> DataFrame:
     """Kafka bytes -> typed event columns: cast, from_json with the explicit
     schema, struct flatten (spark_stream_metrics.py:43-45).
@@ -75,17 +78,38 @@ def parse_events(
     batch_metrics plan: the optimized plan's from_json carries only
     created_ts), so passing ``fields`` is for plans that defeat the rule
     (e.g. a checkpointed stream whose analyzed plan is pinned) and for
-    measuring rule parity — it is NOT needed for ordinary pipelines."""
+    measuring rule parity — it is NOT needed for ordinary pipelines.
+
+    ``wire`` selects the decode: ``"json"`` (the reference's format) or
+    ``"csv"`` (the positional delimited wire of ``generator.to_wire`` —
+    the r13 parse-knee engineering conclusion: the JSON knee is
+    bytes-bound in the tokenizer, and the CSV decode moves it; SCALE.md
+    rounds 13–14).  CSV is positional, so ``fields`` still tokenizes
+    every column and merely prunes the projected output."""
+    if wire not in ("json", "csv"):
+        raise ValueError(f"parse_events: unknown wire format {wire!r}")
     if fields is None:
         schema = EVENT_WIRE_SCHEMA
     else:
         want = set(fields)
+        known = {f.name for f in EVENT_WIRE_SCHEMA.fields}
+        if not want <= known:
+            # A typo (e.g. "created_tz") would otherwise yield an empty
+            # from_json schema and zero columns with no error — a probe
+            # could silently measure a parse of nothing (ADVICE r13).
+            raise ValueError(
+                f"parse_events: unknown wire field(s) {sorted(want - known)}; "
+                f"wire schema has {sorted(known)}"
+            )
         schema = T.StructType([f for f in EVENT_WIRE_SCHEMA.fields if f.name in want])
-    return (
-        raw.select(F.col(value_col).cast("string").alias("json"))
-        .select(F.from_json("json", schema).alias("e"))
-        .select("e.*")
-    )
+    text = raw.select(F.col(value_col).cast("string").alias("wire_str"))
+    if wire == "csv":
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in EVENT_WIRE_SCHEMA.fields
+        )
+        decoded = text.select(F.from_csv("wire_str", F.lit(ddl)).alias("e"))
+        return decoded.select(*[f"e.{f.name}" for f in schema.fields])
+    return text.select(F.from_json("wire_str", schema).alias("e")).select("e.*")
 
 
 def latency_ms(now_ms: Column | None = None) -> Column:

@@ -274,6 +274,42 @@ def stream_event_synth_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_csv_wire_roundtrip",
+    "streaming",
+    oracle="""
+    SELECT CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'click' WHEN 1 THEN 'view'
+                WHEN 2 THEN 'purchase' ELSE 'login' END AS event_type,
+           count(*) AS n,
+           CAST(SUM(CAST((i % 1000) / 10.0 AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           count(DISTINCT i % 10000) AS n_users,
+           min(1700000000000 + CAST(i * 1000 / 1000 AS BIGINT)) AS first_ts_ms
+    FROM range(100000) t(i) GROUP BY 1
+    """,
+)
+def stream_csv_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire-format round-trip parity (r14): 100k generator events encoded
+    with the positional delimited wire (``generator.to_wire(fmt="csv")``),
+    decoded with ``parse_events(wire="csv")``, aggregated per type — same
+    oracle as ``stream_event_synth_agg``, so a pass proves the CSV codec
+    round-trips every field (ids, timestamps, doubles) bit-exactly.  The CSV
+    wire is a first-class ingest option because the r13 parse-knee
+    experiment measured the JSON ingest ceiling as tokenizer-bound (~500k
+    eps/node full parse; SCALE.md rounds 13–14) — wire-format choice, not
+    Spark configuration, is the capacity lever."""
+    from kafka_spark_streaming_eval_spark.streaming.generator import to_wire
+    from kafka_spark_streaming_eval_spark.streaming.metrics_job import parse_events
+
+    ev = synth_events_batch(prep(spark), 100_000, rate_eps=1000)
+    parsed = parse_events(to_wire(ev, fmt="csv"), wire="csv")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("created_ts").alias("first_ts_ms"),
+    )
+
+
+@register(
     "stream_static_enrich_join",
     "streaming",
     oracle=f"""

@@ -81,7 +81,9 @@ def main() -> None:
 
     from kafka_spark_streaming_eval_spark.session import get_spark
     from kafka_spark_streaming_eval_spark.streaming.generator import (
+        WIRE_FIELD_ORDER,
         synth_events_stream,
+        to_wire,
     )
     from kafka_spark_streaming_eval_spark.streaming.metrics_job import (
         MetricsCollector,
@@ -115,8 +117,14 @@ def main() -> None:
     #            skips JSON tokenization entirely (Jackson still scans the
     #            whole string under a pruned schema), the only variant that
     #            can beat the optimizer
+    #   csv    — the positional delimited wire (generator.to_wire(fmt="csv")
+    #            encode, parse_events(wire="csv") full decode): the r14
+    #            first-class structured alternative the r13 regex result
+    #            motivates — unlike regex it is a REAL general decoder
+    #            (types, quoting), so its knee is the number a production
+    #            wire-format switch actually buys
     parse_variant = args[args.index("--parse") + 1] if "--parse" in args else "full"
-    if parse_variant not in ("full", "pruned", "regex"):
+    if parse_variant not in ("full", "pruned", "regex", "csv"):
         raise SystemExit(f"unknown --parse variant {parse_variant!r}")
 
     # Per-batch steal attribution (r11 item 6: one anomalous 53 s batch in
@@ -140,17 +148,13 @@ def main() -> None:
 
     spark = get_spark("sat-probe", shuffle_partitions=shuffle_parts)
     ev = synth_events_stream(spark, rows_per_second=rate)
-    wire = ev.select(
-        F.to_json(
-            F.struct(
-                "event_id",
-                F.unix_millis("ts").alias("created_ts"),
-                "user_id",
-                "event_type",
-                "value",
-                "payload",
-            )
-        ).alias("value")
+    # The csv variant swaps the WIRE (encode + decode) — everything else in
+    # the pipeline is identical, so a knee delta is attributable to the
+    # format alone.  created_ts is real emission time for all variants.
+    wire = to_wire(
+        ev,
+        fmt="csv" if parse_variant == "csv" else "json",
+        created_ts=F.unix_millis("ts"),
     )
     ckpt = tempfile.mkdtemp(prefix="sat_ckpt_")
     collector = MetricsCollector()
@@ -158,7 +162,17 @@ def main() -> None:
         parsed = parse_events(wire)
     elif parse_variant == "pruned":
         parsed = parse_events(wire, fields=["created_ts"])
+    elif parse_variant == "csv":
+        parsed = parse_events(wire, wire="csv")
     else:  # regex: created_ts is always a bare integer on this wire
+        # The regex keeps the FIRST '"created_ts":<int>' match, which is the
+        # real field only while no free-form string field precedes
+        # created_ts in the wire struct (event_id is allowed before it
+        # because md5 hex can never embed '"created_ts":'); a field-order
+        # change would silently corrupt the probe's timestamps (ADVICE r13).
+        assert WIRE_FIELD_ORDER.index("created_ts") < WIRE_FIELD_ORDER.index(
+            "payload"
+        ), "regex decode requires created_ts before the free-form payload field"
         parsed = wire.select(
             F.regexp_extract(
                 F.col("value").cast("string"), '"created_ts":(-?\\d+)', 1

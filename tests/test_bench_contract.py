@@ -568,3 +568,266 @@ def test_steal_block_excluded_from_stdout_line():
     assert "steal" not in slim
     assert slim["steal_pct_run"] == 0.02
     assert slim["throughput_steal_gate_ok"] is True
+
+
+# ---------------------------------------------------------------------------
+# Stream phase gate (VERDICT r13 item 2): the --stream-only subprocess gets
+# the same steal-retry discipline as headline/tier2/throughput, with
+# per-metric selection (max-sustained / min-p95 / min-recovery).
+
+
+def _stream_payload(sus, p95, rec, steal_pct, batches=16):
+    return {
+        "stream_sustained_eps": sus,
+        "stream_p95_latency_ms": p95,
+        "recovery_s": rec,
+        "stream_batches": batches,
+        "stream_gate": {"engaged": True, "kept_batches": batches},
+        "stream_steal": {
+            "available": True,
+            "wall_s": 60.0,
+            "steal_ticks": 10,
+            "steal_pct": steal_pct,
+        },
+    }
+
+
+def test_stream_gate_quiet_first_attempt_no_retry(monkeypatch):
+    calls = []
+
+    def fake(timeout=300.0):
+        calls.append(1)
+        return _stream_payload(46875.0, 1292.2, 5.73, 0.02)
+
+    monkeypatch.setattr(bench, "_run_stream_subprocess", fake)
+    metrics, prov = bench.stream_phase_gated()
+    assert len(calls) == 1
+    assert metrics["stream_sustained_eps"] == 46875.0
+    assert metrics["stream_gate"]["engaged"] is True
+    assert prov["gate_cleared"] is True
+    assert prov["kept"] == {
+        "sustained_attempt": 1, "p95_attempt": 1, "recovery_attempt": 1,
+    }
+    assert prov["selector"] == "max-sustained/min-p95/min-recovery"
+
+
+def test_stream_gate_retries_under_steal_and_selects_per_metric(monkeypatch):
+    """A stormy first attempt retries; each metric is kept from the attempt
+    where steal (one-sided noise) hurt it least — the three kept indices
+    deliberately differ so this pins per-metric selection, not best-attempt
+    selection."""
+    payloads = iter([
+        _stream_payload(48000.0, 1500.0, 6.0, 1.39),   # stormy: best sustained
+        _stream_payload(44000.0, 1200.0, 7.0, 0.90),   # stormy: best p95
+        _stream_payload(46000.0, 1400.0, 4.5, 0.03),   # quiet: best recovery
+    ])
+    monkeypatch.setattr(
+        bench, "_run_stream_subprocess", lambda timeout=300.0: next(payloads)
+    )
+    metrics, prov = bench.stream_phase_gated()
+    assert len(prov["attempts"]) == 1 + bench.STREAM_STEAL_RETRIES
+    assert metrics["stream_sustained_eps"] == 48000.0
+    assert metrics["stream_p95_latency_ms"] == 1200.0
+    assert metrics["recovery_s"] == 4.5
+    assert prov["kept"] == {
+        "sustained_attempt": 1, "p95_attempt": 2, "recovery_attempt": 3,
+    }
+    # sustained and p95 came from stormy spans -> the composite is not quiet
+    assert prov["gate_cleared"] is False
+    # batches/gate ride with the max-sustained attempt
+    assert metrics["stream_batches"] == 16
+
+
+def test_stream_gate_all_quiet_contributors_clear_gate(monkeypatch):
+    """gate_cleared is True when every contributing attempt was quiet, even
+    if a rejected stormy attempt sits in the provenance."""
+    payloads = iter([
+        _stream_payload(20000.0, 9000.0, 30.0, 2.5),   # stormy, all-worst
+        _stream_payload(46875.0, 1292.2, 5.73, 0.02),  # quiet, all-best
+    ])
+    monkeypatch.setattr(
+        bench, "_run_stream_subprocess", lambda timeout=300.0: next(payloads)
+    )
+    metrics, prov = bench.stream_phase_gated()
+    assert len(prov["attempts"]) == 2
+    assert prov["kept"] == {
+        "sustained_attempt": 2, "p95_attempt": 2, "recovery_attempt": 2,
+    }
+    assert prov["gate_cleared"] is True
+    assert metrics["stream_sustained_eps"] == 46875.0
+
+
+def test_stream_gate_invalid_payload_consumes_attempt_then_recovers(monkeypatch):
+    """A sentinel/implausible payload (raised by _run_stream_subprocess)
+    consumes an attempt, is recorded valid=False with the error, and the
+    next attempt proceeds — subsuming the old two-try validity loop."""
+    seq = iter([ValueError("implausible streaming payload"), None])
+
+    def fake(timeout=300.0):
+        step = next(seq)
+        if step is not None:
+            raise step
+        return _stream_payload(46000.0, 1300.0, 5.5, 0.01)
+
+    monkeypatch.setattr(bench, "_run_stream_subprocess", fake)
+    metrics, prov = bench.stream_phase_gated()
+    assert metrics["stream_sustained_eps"] == 46000.0
+    assert prov["attempts"][0]["valid"] is False
+    assert "implausible" in prov["attempts"][0]["err"]
+    assert prov["gate_cleared"] is True
+
+
+def test_stream_gate_all_attempts_invalid_returns_none(monkeypatch):
+    """No valid subprocess payload -> (None, provenance) so main() falls
+    back to the in-process path; gate_cleared None (nothing was kept)."""
+    def fake(timeout=300.0):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(bench, "_run_stream_subprocess", fake)
+    metrics, prov = bench.stream_phase_gated()
+    assert metrics is None
+    assert prov["kept"] is None and prov["gate_cleared"] is None
+    assert len(prov["attempts"]) == 1 + bench.STREAM_STEAL_RETRIES
+    assert all(a["valid"] is False for a in prov["attempts"])
+
+
+def test_stream_gate_weather_unknown_keeps_single_attempt(monkeypatch):
+    """stream_steal unavailable (no /proc/stat in the subprocess): keep the
+    attempt, gate_cleared False, never a retry loop (ADVICE r13 shape)."""
+    calls = []
+
+    def fake(timeout=300.0):
+        calls.append(1)
+        p = _stream_payload(46000.0, 1300.0, 5.5, 0.01)
+        p["stream_steal"] = {"available": False, "wall_s": 60.0}
+        return p
+
+    monkeypatch.setattr(bench, "_run_stream_subprocess", fake)
+    metrics, prov = bench.stream_phase_gated()
+    assert len(calls) == 1
+    assert metrics["stream_sustained_eps"] == 46000.0
+    assert prov["gate_cleared"] is False
+
+
+def test_stream_gate_scalars_survive_stdout_budget():
+    full = _fake_full_payload(60)
+    full["stream_steal_gate_ok"] = True
+    full["stream_attempts"] = 2
+    full["steal"] = {"stream": {"attempts": [{"valid": True}]}}
+    slim = bench.budget_stdout_payload(full)
+    assert "steal" not in slim
+    assert slim["stream_steal_gate_ok"] is True
+    assert slim["stream_attempts"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Throughput anomaly retry (VERDICT r13 item 3): a QUIET attempt >2x slower
+# than a noisy one is an anomaly steal cannot explain; one extra attempt is
+# allowed so gate_cleared can be earned rather than waived.
+
+
+def test_throughput_gate_anomaly_third_attempt_earns_gate(monkeypatch):
+    """The r13 shape: noisy 1.47M then quiet 210k (7x slower).  The gate
+    must notice the quiet attempt is implausibly slow, run ONE extra
+    attempt, and — when that attempt is quiet and fast — earn
+    gate_cleared True."""
+    fakes = iter([
+        (1_471_535.0, {"available": True, "wall_s": 2.0, "steal_ticks": 9, "steal_pct": 0.538}),
+        (210_000.0, {"available": True, "wall_s": 10.0, "steal_ticks": 1, "steal_pct": 0.048}),
+        (1_450_000.0, {"available": True, "wall_s": 2.0, "steal_ticks": 0, "steal_pct": 0.01}),
+    ])
+    monkeypatch.setattr(bench, "throughput_eps", lambda spark: next(fakes))
+    eps, prov = bench.throughput_eps_gated(spark=None)
+    assert prov["anomaly_retry"] is True
+    assert len(prov["attempts"]) == 3
+    assert eps == 1_471_535.0  # max still wins overall...
+    assert prov["kept_attempt"] == 1
+    assert prov["gate_cleared"] is False  # ...and the kept span was noisy
+
+
+def test_throughput_gate_anomaly_retry_can_clear_gate(monkeypatch):
+    """When the anomaly retry comes back quiet AND fastest, it is kept and
+    the gate is cleared — the whole point of the extra attempt."""
+    fakes = iter([
+        (1_471_535.0, {"available": True, "wall_s": 2.0, "steal_ticks": 9, "steal_pct": 0.538}),
+        (210_000.0, {"available": True, "wall_s": 10.0, "steal_ticks": 1, "steal_pct": 0.048}),
+        (1_500_000.0, {"available": True, "wall_s": 2.0, "steal_ticks": 0, "steal_pct": 0.01}),
+    ])
+    monkeypatch.setattr(bench, "throughput_eps", lambda spark: next(fakes))
+    eps, prov = bench.throughput_eps_gated(spark=None)
+    assert prov["anomaly_retry"] is True
+    assert eps == 1_500_000.0 and prov["kept_attempt"] == 3
+    assert prov["gate_cleared"] is True
+
+
+def test_throughput_gate_no_anomaly_retry_when_quiet_is_plausible(monkeypatch):
+    """A quiet attempt within 2x of the best needs no extra attempt."""
+    calls = []
+
+    def fake(spark):
+        calls.append(1)
+        return 1_000_000.0, {"available": True, "wall_s": 2.0, "steal_ticks": 0, "steal_pct": 0.01}
+
+    monkeypatch.setattr(bench, "throughput_eps", fake)
+    eps, prov = bench.throughput_eps_gated(spark=None)
+    assert len(calls) == 1
+    assert prov["anomaly_retry"] is False
+
+
+# ---------------------------------------------------------------------------
+# steal_pct=None handling (ADVICE r13): a zero total-tick delta over a very
+# short span is weather-UNKNOWN, not stormy — keep the attempt instead of
+# burning every retry.
+
+
+def test_throughput_gate_steal_pct_none_keeps_without_retry(monkeypatch):
+    calls = []
+
+    def fake(spark):
+        calls.append(1)
+        return 900_000.0, {"available": True, "wall_s": 0.01, "steal_ticks": 0, "steal_pct": None}
+
+    monkeypatch.setattr(bench, "throughput_eps", fake)
+    eps, prov = bench.throughput_eps_gated(spark=None)
+    assert len(calls) == 1
+    assert eps == 900_000.0
+    assert prov["gate_cleared"] is False
+
+
+def test_walltime_gate_steal_pct_none_keeps_without_retry(monkeypatch):
+    _meter_seq(monkeypatch, [
+        {"available": True, "wall_s": 0.01, "steal_ticks": 0, "steal_pct": None},
+    ])
+    calls = []
+
+    def phase(i):
+        calls.append(i)
+        return {"q": 1.0}
+
+    timings, prov = bench.walltime_phase_gated(phase, retries=2, label="headline")
+    assert calls == [0]
+    assert prov["gate_cleared"] is False and prov["kept_attempt"] == 1
+
+
+# ---------------------------------------------------------------------------
+# StealMeter self-description additions (r14): denominator version stamp
+# (ADVICE r13 — the first8 denominator reads higher than pre-r13 sidecars)
+# and PSI pressure deltas (VERDICT r13 item 3 — the non-steal diagnostic).
+
+
+def test_stealmeter_stamps_denominator_and_pressure():
+    m = bench.StealMeter()
+    got = m.finish()
+    if not got.get("available"):
+        return  # host without /proc/stat: nothing to stamp
+    assert got["denominator"] == "first8"
+    if bench.read_pressure_totals() is not None:
+        assert set(got["pressure_stall_ms"]) == {"cpu_some", "io_some", "io_full"}
+        assert all(v >= 0 for v in got["pressure_stall_ms"].values())
+
+
+def test_read_pressure_totals_shape():
+    got = bench.read_pressure_totals()
+    if got is not None:
+        assert set(got) == {"cpu_some", "io_some", "io_full"}
+        assert all(isinstance(v, int) and v >= 0 for v in got.values())

@@ -89,6 +89,56 @@ def test_parse_events_pruned_fields(spark):
     assert "event_type" not in m.group(1)  # unused wire fields pruned
 
 
+def test_parse_events_rejects_unknown_fields(spark):
+    """A typo in ``fields=`` must raise, not silently decode an empty
+    schema (ADVICE r13: fields=["created_tz"] would otherwise yield zero
+    columns and a probe could measure a parse of nothing)."""
+    import pytest
+
+    ev = synth_events_batch(spark, 1)
+    wire = ev.select(
+        F.to_json(
+            F.struct("event_id", "created_ts", "user_id", "event_type", "value", "payload")
+        ).alias("value")
+    )
+    with pytest.raises(ValueError, match="created_tz"):
+        parse_events(wire, fields=["created_tz"])
+    with pytest.raises(ValueError, match="unknown wire field"):
+        parse_events(wire, fields=["created_ts", "nope"])
+
+
+def test_csv_wire_roundtrip_all_fields(spark):
+    """The positional CSV wire (r14, parse-knee engineering conclusion)
+    round-trips every field bit-exactly: encode with to_wire(fmt="csv"),
+    decode with parse_events(wire="csv"), compare against both the JSON
+    wire round-trip and the un-encoded events."""
+    from kafka_spark_streaming_eval_spark.streaming.generator import (
+        WIRE_FIELD_ORDER,
+        to_wire,
+    )
+
+    ev = synth_events_batch(spark, 5000)
+    via_csv = parse_events(to_wire(ev, fmt="csv"), wire="csv")
+    via_json = parse_events(to_wire(ev, fmt="json"))
+    assert via_csv.schema == via_json.schema
+    a = sorted(map(tuple, via_csv.collect()))
+    b = sorted(map(tuple, via_json.collect()))
+    direct = sorted(map(tuple, ev.select(*WIRE_FIELD_ORDER).collect()))
+    assert a == b == direct
+    # fields= with the csv wire prunes the projection (decode stays full —
+    # CSV is positional)
+    pruned = parse_events(to_wire(ev, fmt="csv"), fields=["created_ts"], wire="csv")
+    assert pruned.columns == ["created_ts"]
+    assert sorted(r.created_ts for r in pruned.collect()) == sorted(
+        t[1] for t in direct
+    )
+    # unknown formats raise
+    with pytest.raises(ValueError, match="wire format"):
+        to_wire(ev, fmt="avro")
+    with pytest.raises(ValueError, match="wire format"):
+        parse_events(to_wire(ev, fmt="csv"), wire="xml")
+
+
 def test_metrics_stream_and_checkpoint_recovery(spark, tmp_path):
     """exp3 semantics: run, stop, append data, restart from the checkpoint —
     every batch processed exactly once, no reprocessing after restart."""
