@@ -46,6 +46,17 @@ def steal_window(window_s: float = WINDOW_S) -> float | None:
     return 100.0 * (b[0] - a[0]) / (b[1] - a[1])
 
 
+def accept_verdict(payload: dict) -> bool:
+    """The r13 accept rule: a SETTLED verdict is valid at any steal (steal
+    can only slow settling, so a settle under fire lower-bounds capacity);
+    a NEVER-SETTLED verdict counts only from a span quieter than
+    ACCEPT_STORM_PCT — a storm-buried non-settle says nothing about the
+    knee.  Weather-unknown spans cannot attest a non-settle."""
+    run_steal = (payload.get("steal") or {}).get("steal_pct")
+    settled = "error" not in payload
+    return settled or (run_steal is not None and run_steal < ACCEPT_STORM_PCT)
+
+
 def main() -> int:
     args = sys.argv[1:]
 
@@ -96,12 +107,11 @@ def main() -> int:
                 log(f"UNPARSEABLE output rate={rate} try={attempt}; retrying")
                 continue
             run_steal = (payload.get("steal") or {}).get("steal_pct")
-            settled = "error" not in payload
             log(
                 f"done rate={rate} parse={parse} try={attempt} "
-                f"settled={settled} run_steal={run_steal}"
+                f"settled={'error' not in payload} run_steal={run_steal}"
             )
-            if settled or (run_steal is not None and run_steal < ACCEPT_STORM_PCT):
+            if accept_verdict(payload):
                 with open(outpath, "w") as f:
                     json.dump(payload, f)
                     f.write("\n")
