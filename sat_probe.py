@@ -204,13 +204,20 @@ def main() -> None:
             break
         time.sleep(0.25)
     if settled_at is None:
+        # Artifact carries the HEAD (catch-up shape) and the TAIL (the
+        # convergence discriminator — r14: a 650k "never settled" whose
+        # first-60 truncation hid a tail processing ABOVE input rate read
+        # as a knee when it was a settle-criterion edge) of the timeline,
+        # plus the full batch count, so the verdict self-diagnoses.
         print(json.dumps({"rate_eps": rate, "parse": parse_variant,
                           "error": "never settled",
                           "deadline_s": deadline_s,
                           "shuffle_partitions": shuffle_parts,
                           "tail_eps": tail_eps(timeline),
                           "steal": run_meter.finish(),
-                          "timeline": timeline[:60]}))
+                          "timeline_n": len(timeline),
+                          "timeline": timeline[:40],
+                          "timeline_tail": timeline[-20:]}))
         query.stop()
         query.awaitTermination()
         shutil.rmtree(ckpt, ignore_errors=True)
