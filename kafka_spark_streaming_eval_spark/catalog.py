@@ -96,6 +96,11 @@ def events_ts_ms(df: DataFrame, long_divisor: int = 1_000_000) -> DataFrame:
 # scan, and the key that spreads them deterministically.  These scans are
 # spread to session parallelism when the file layout cannot feed the cores
 # (see session.spread_small_scan — a no-op on real multi-split inputs).
+# lineitem/orders are deliberately NOT spread: the relational queries'
+# scan-side work is light, and an explicit repartition node hides the
+# scan-size statistics that let the planner auto-broadcast the dimension
+# side — measured r14: join_star_revenue 0.93 s -> 3.79 s, tpch_q1
+# 0.28 s -> 0.99 s with lineitem/orders in this map (SMJ replacing BHJ).
 _SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 

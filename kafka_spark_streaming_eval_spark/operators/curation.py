@@ -118,6 +118,7 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         _ensure_staged,
         _run_to_table,
         _src_fingerprint,
+        _table_rows,
     )
 
     prep(spark)
@@ -169,6 +170,11 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
                 lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
             ),
         ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        # NOT spread: a per-batch repartition before the map was A/B-tested
+        # in r14 (the streaming analogue of session.spread_small_scan) and
+        # LOST — 4.0 s -> 5.7 s at quiet steal; a 1250-doc micro-batch's
+        # single-task map is cheaper than 4x (exchange + 32-task stage
+        # scheduling) per trigger.
         stream_sh = stream.select(
             "source", "doc_id", F.split(F.lower("text"), " ").alias("_t")
         ).select("source", "doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh"))
@@ -177,7 +183,9 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
             .groupBy("source", "doc_id")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
-        out = _run_to_table(per_doc, "complete")
+        out = _run_to_table(
+            per_doc, "complete", state_rows=_table_rows(sf_dir, "documents")
+        )
     finally:
         bench.unpersist()
     return out.groupBy("source").agg(

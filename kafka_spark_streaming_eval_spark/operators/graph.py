@@ -118,7 +118,14 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree bit-for-bit.  Scale: node state and edges stay
     partitioned by node id; the driver never sees a row, only the loop
     counter."""
-    base = trade_edges(spark, sf_dir)
+    # Checkpoint the AGGREGATED edge table first (|nations|^2 rows, tiny):
+    # nodes, outw, frac and the rank seed all derive from it, and without
+    # this truncation each of their materializations replays the 5-table
+    # corpus join — the edge build ran ~3x per invocation (frac checkpoint,
+    # node count, first rank checkpoint).  One corpus scan total now; the
+    # checkpointed state is O(nodes^2), never corpus-sized (r14, guide §2.4
+    # "remove shuffles outright" applied to repeated lineage).
+    base = iter_checkpoint(trade_edges(spark, sf_dir))
     nodes = (
         base.select("src").union(base.select(F.col("dst").alias("src"))).distinct()
     )
@@ -147,11 +154,22 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select(F.col("src").alias("node"), (F.lit(1.0) / n).alias("rank"))
     ranks = ranks.coalesce(loop_parts)
     for it in range(PR_ITERS):
-        contrib = ranks.join(frac, ranks.node == frac.src).select(
+        if loop_parts == 1:
+            # Single-partition loop state (small graphs): broadcast the rank
+            # vector and stream the 1-partition frac — the join needs no
+            # exchange, and the groupBy below none either (a SinglePartition
+            # child satisfies ClusteredDistribution), so each iteration is
+            # ZERO shuffles instead of one 1-partition exchange (r14 A/B at
+            # sf0.1: loop segments 2.4 s -> 2.0 s; trajectory bit-identical
+            # — same join, same quantized sum).
+            joined = frac.join(F.broadcast(ranks), ranks.node == frac.src)
+        else:
+            joined = ranks.join(frac, ranks.node == frac.src)
+        contrib = joined.select(
             F.col("dst").alias("node"),
             F.floor(F.col("rank") * F.col("f") * F.lit(1.0e15)).alias("cb_i"),
         )
-        if loop_parts < sess_parts:
+        if 1 < loop_parts < sess_parts:
             # Tiny-state loop: pin the per-iteration exchange to loop_parts
             # with an EXPLICIT keyed repartition — the aggregate below reuses
             # that partitioning (ClusteredDistribution satisfied), so no
@@ -237,18 +255,43 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Size the loop partitioning to the state, exactly like pagerank's
+    # loop_parts: the edge list is materialized once, counted (tiny job on
+    # the checkpointed frame), and the whole relaxation loop runs on
+    # loop_parts partitions — 1 for the 25-nation graph, scaling with edge
+    # count on big graphs (r14; the every-round eager checkpoint + 6
+    # session-sized exchanges were ~4.5 s of pure scheduling at sf0.1).
     edges = iter_checkpoint(edges)  # materialize once; 6 rounds re-join this
-    dist = spark.createDataFrame([(0, 0)], "node int, dist int")
-    for _ in range(BFS_MAX_HOPS):
-        nxt = (
-            dist.join(edges, dist.node == edges.src)
-            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = max(1, min(sess_parts, edges.count() // 50_000 + 1))
+    edges = edges.coalesce(loop_parts)
+    # Materialize the 1-row seed BEFORE coalescing it: a Python-created
+    # DataFrame is backed by a defaultParallelism-sliced pickled RDD, and
+    # coalesce(1) directly on it funnels every slice through ONE sequential
+    # Python-runner task (minimal repro r14: createDataFrame.coalesce(1)
+    # .count() = 5.4 s vs 0.5 s via checkpoint-then-coalesce — the stall
+    # behind this loop's first round).  Checkpointed-then-coalesced, round 0
+    # costs the same ~0.2 s as every later round.
+    dist = iter_checkpoint(
+        spark.createDataFrame([(0, 0)], "node int, dist int")
+    ).coalesce(1)
+    for it in range(BFS_MAX_HOPS):
+        nxt = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
-        dist = iter_checkpoint(
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
+        upd = dist.unionByName(nxt)
+        if loop_parts == 1:
+            # the 2-partition union (dist + nxt) must fold back to ONE
+            # partition or the groupBy plans a session-sized exchange;
+            # coalesce is narrow — with both loop operands single-partition
+            # the whole superstep then runs shuffle-free
+            upd = upd.coalesce(1)
+        dist = upd.groupBy("node").agg(F.min("dist").alias("dist"))
+        # Checkpoint EVERY round: dist feeds both the relaxation join and
+        # the union, so an unmaterialized round doubles the replay of the
+        # previous segment per round (2^k between checkpoints — measured
+        # 4.5 s -> 19.9 s when this was relaxed to every 3rd round in r14).
+        dist = iter_checkpoint(dist)
     return dist.select("node", F.col("dist").alias("hops"))
 
 

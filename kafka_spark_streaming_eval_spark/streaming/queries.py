@@ -108,22 +108,74 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Drive a streaming aggregation to completion; return the result table."""
+# State-store sizing for the bounded replay exhibits: ~this many input rows
+# per state partition (same density rule as graph.py's loop_parts).  A
+# stateful operator plans one state store per shuffle partition and pays a
+# per-batch (load + commit + delta-file fsync) cycle on EVERY store, so 32
+# near-empty stores cost ~32 fsync cycles per micro-batch to hold a few
+# hundred keys — measured r14 at sf0.1: a 4-batch count-only stream fell
+# 3.15 s -> 1.33 s going from 32 to 4 state partitions.  State partitioning
+# is a per-job decision pinned by the checkpoint (NOT AQE-adjustable), so
+# sizing it to expected state volume is exactly what a production stream
+# does; inputs large enough to fill the session's partitions keep them.
+STATE_ROWS_PER_PART = 50_000
+
+
+def _state_parts(spark: SparkSession, approx_rows: int) -> int:
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(sess, approx_rows // STATE_ROWS_PER_PART + 1))
+
+
+_TABLE_ROWS_CACHE: dict[str, int] = {}
+
+
+def _table_rows(sf_dir: str, name: str) -> int:
+    """Row count of a testdata table from parquet metadata (no scan)."""
+    import os
+
+    import pyarrow.parquet as pa_pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    key = f"{path}|{st.st_mtime_ns}|{st.st_size}"
+    n = _TABLE_ROWS_CACHE.get(key)
+    if n is None:
+        n = _TABLE_ROWS_CACHE[key] = pa_pq.ParquetFile(path).metadata.num_rows
+    return n
+
+
+def _run_to_table(
+    stream_df: DataFrame, mode: str, state_rows: int | None = None
+) -> DataFrame:
+    """Drive a streaming aggregation to completion; return the result table.
+
+    ``state_rows`` (approximate input/state row bound, e.g. the replayed
+    table's metadata row count) sizes the stateful operators' shuffle
+    partitioning via ``_state_parts`` for the lifetime of this query —
+    the conf is restored afterwards; Spark pins the value in the
+    checkpoint's offset metadata at the first batch."""
     spark = stream_df.sparkSession
     name = f"stream_result_{next(_name_counter)}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    if state_rows is not None:
+        spark.conf.set(conf_key, str(_state_parts(spark, state_rows)))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
+        if state_rows is not None:
+            spark.conf.set(conf_key, old_parts)
     return spark.table(name)
 
 
@@ -146,7 +198,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
-    out = _run_to_table(agg, "complete")
+    out = _run_to_table(agg, "complete", state_rows=_table_rows(sf_dir, "events"))
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "event_type",
@@ -178,7 +230,7 @@ def stream_sliding_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy(F.window("ts", "12 hours", "6 hours")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    out = _run_to_table(agg, "complete")
+    out = _run_to_table(agg, "complete", state_rows=_table_rows(sf_dir, "events"))
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n",
@@ -206,7 +258,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
-    return _run_to_table(agg, "complete")
+    # doubled input: dedup state holds ~2x the events rows inside the watermark
+    return _run_to_table(
+        agg, "complete", state_rows=2 * _table_rows(sf_dir, "events")
+    )
 
 
 @register(
@@ -341,7 +396,7 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
-    out = _run_to_table(agg, "complete")
+    out = _run_to_table(agg, "complete", state_rows=_table_rows(sf_dir, "events"))
     return out.select(
         "event_type",
         F.unix_millis(F.col("window.start")).alias("day_ms"),
@@ -401,7 +456,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 6 HOURS"))
         & (F.col("view_ts") <= F.col("click_ts")),
     )
-    out = _run_to_table(joined, "append")
+    out = _run_to_table(
+        joined, "append", state_rows=2 * _table_rows(sf_dir, "events")
+    )
     return out.select(
         "click_id",
         "view_id",
@@ -541,7 +598,9 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("view_ts") <= F.col("click_ts")),
         "leftOuter",
     )
-    out = _run_to_table(joined, "append")
+    out = _run_to_table(
+        joined, "append", state_rows=2 * _table_rows(sf_dir, "events")
+    )
     return out.where(F.col("user_id") >= 0).select(
         "click_id",
         "view_id",

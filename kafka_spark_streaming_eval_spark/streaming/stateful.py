@@ -83,20 +83,34 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     base = fresh_scratch_dir("stateful_src", sf_dir)
     ev = table(spark, sf_dir, "events").select("user_id", "event_id")
     ev.repartition(4).write.mode("overwrite").parquet(base)
+    from kafka_spark_streaming_eval_spark.streaming.queries import _table_rows
+
+    ev_rows = _table_rows(sf_dir, "events")
 
     name = f"stateful_out_{next(_sink_counter)}"
-    q = (
-        running_count_stream(spark, base)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Size state partitioning to the replayed input, not the session default
+    # (see streaming.queries.STATE_ROWS_PER_PART: 32 near-empty stores paid
+    # a per-batch load/commit/fsync cycle each, x4 batches here).
+    from kafka_spark_streaming_eval_spark.streaming.queries import _state_parts
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(_state_parts(spark, ev_rows)))
     try:
-        q.processAllAvailable()
+        q = (
+            running_count_stream(spark, base)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
+        spark.conf.set(conf_key, old_parts)
     emitted = spark.table(name)
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

@@ -242,7 +242,13 @@ def test_pack_sequences_single_exchange(spark):
     agg key dropped the stream key."""
     df = SPECS["pipeline_pack_sequences"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # one KEY exchange total, shared by window + agg; the catalog's
+    # spread_small_scan exchange (hashpartitioning(doc_id, ...), r14 input
+    # -skew fix) is scan plumbing, not a second key shuffle
+    key_exchanges = plan.count("Exchange hashpartitioning") - plan.count(
+        "Exchange hashpartitioning(doc_id"
+    )
+    assert key_exchanges == 1, plan[:2000]
 
 
 def test_sample_k_per_group_window_group_limit(spark):
@@ -261,7 +267,12 @@ def test_stratified_split_map_only_before_agg(spark):
     exchange is the final (source, lang, split) aggregation."""
     df = SPECS["pipeline_stratified_split"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # one KEY exchange (the final agg); the spread_small_scan doc_id
+    # exchange (r14 input-skew fix) is scan plumbing, not a key shuffle
+    key_exchanges = plan.count("Exchange hashpartitioning") - plan.count(
+        "Exchange hashpartitioning(doc_id"
+    )
+    assert key_exchanges == 1, plan[:2000]
     assert "Join" not in plan
 
 
