@@ -366,39 +366,106 @@ def tier2_rotation(specs) -> list[str]:
 # parses the final JSON line from that window: BENCH_r01..r04 (line lengths
 # 1434..1857) parsed fine, r05 (>2000 after 13 new headline queries) came
 # back "parsed": null with the tail starting mid-line.  The stdout line is
-# therefore BUDGETED: scalar metrics always included, per-query timings
-# added slowest-first until the serialized line would cross STDOUT_BUDGET,
-# and the COMPLETE payload (every headline + tier-2 timing, full precision)
-# written to DETAILS_FILE alongside this script.
-STDOUT_BUDGET = 1900
+# therefore BUDGETED.  r14 lesson (VERDICT r14 items 3+2): the old scheme
+# kept every scalar and truncated the QUERIES dict slowest-first, so the
+# ~26 fastest headline timings fell off the line and PERF flagged them as
+# phantom "dropped_from_bench" every round.  Per-query timings are what the
+# grading contract diffs, so they now take priority: the line carries the
+# core contract fields + a small reserved scalar set (the BASELINE-gate
+# stream triple, throughput, headline weather attestation), then EVERY
+# per-query timing (compact separators, 2-dp — full 4-dp precision lives in
+# the sidecar), and only then as many remaining scalars as still fit.  The
+# COMPLETE payload is always written to DETAILS_FILE alongside this script.
+# The driver's capture window is EXACTLY 2000 chars and ends with the JSON
+# line + "\n" (measured across every committed BENCH_r*.json tail), so the
+# hard ceiling for a parseable line is 1999 chars; 1985 leaves a margin for
+# stray control chars without giving up the space the 57-query dict needs.
+STDOUT_BUDGET = 1985
 DETAILS_FILE = "BENCH_DETAILS.json"
+
+# Scalars reserved on the stdout line BEFORE query timings are fitted: the
+# three BASELINE.md-gate streaming numbers, the throughput headline, and
+# the kept-attempt weather attestation for the headline phase.
+STDOUT_RESERVED_SCALARS = (
+    "stream_sustained_eps",
+    "stream_p95_latency_ms",
+    "recovery_s",
+    "throughput_eps",
+    "headline_steal_gate_ok",
+)
+# Remaining scalars, filled into leftover budget in this priority order;
+# anything cut here still ships in the sidecar at full precision.
+STDOUT_OPTIONAL_SCALARS = (
+    "headline_steal_pct",
+    "headline_attempts",
+    "stream_steal_gate_ok",
+    "steal_pct_run",
+    "tier2_total",
+    "tier2_n",
+    "tier2_steal_gate_ok",
+    "throughput_steal_pct",
+    "throughput_steal_gate_ok",
+    "stream_attempts",
+    "stream_isolation",
+    "jvm_heap",
+    "stream_input_eps",
+    "stream_batches",
+    "throughput_events",
+    "baseline_throughput_eps",
+    "baseline_p95_latency_ms",
+    "baseline_recovery_s",
+)
+
+
+def _enc(obj: dict) -> str:
+    return json.dumps(obj, separators=(",", ":"))
 
 
 def budget_stdout_payload(full: dict, limit: int = STDOUT_BUDGET) -> dict:
-    """The stdout-line subset of ``full``: all scalar fields, plus as many
-    per-query timings (slowest first) as fit in ``limit`` serialized chars.
-    ``queries_n``/``queries_omitted`` make the truncation explicit and
+    """The stdout-line subset of ``full``: contract fields + reserved
+    scalars, then per-query timings (slowest first, 2-dp) until ``limit``
+    serialized chars, then optional scalars into whatever room is left.
+    ``queries_n``/``queries_omitted`` make any truncation explicit and
     ``queries_full`` names the sidecar carrying the rest."""
-    # stream_gate / vs_last are nested provenance artifacts — sidecar only,
-    # never the budgeted stdout line.
-    slim = {
-        k: v
-        for k, v in full.items()
-        if k not in ("queries", "tier2_queries", "tier2_policy", "stream_gate",
-                     "vs_last", "steal")
-    }
+    slim = {k: full[k] for k in ("metric", "value", "unit", "sf") if k in full}
+    for k in STDOUT_RESERVED_SCALARS:
+        if k in full:
+            slim[k] = full[k]
     all_q = dict(full.get("queries", {}))
     slim["queries"] = {}
     slim["queries_n"] = len(all_q)
     slim["queries_omitted"] = len(all_q)
-    slim["queries_full"] = DETAILS_FILE
+    # fast path: the complete query set with no truncation pointer — the
+    # slowest-prefix loop below can wedge 1-2 queries short of this because
+    # its intermediate candidates carry the 36-char queries_full pointer
+    whole = dict(slim)
+    whole["queries"] = {n: round(s, 2) for n, s in all_q.items()}
+    whole["queries_omitted"] = 0
+    if len(_enc(whole)) <= limit:
+        slim = whole
+    # fill slowest-first by RAW value so the kept set is the slowest prefix;
+    # emitted values are 2-dp (the sidecar keeps full precision)
     for name, sec in sorted(all_q.items(), key=lambda kv: (-kv[1], kv[0])):
+        if not slim["queries_omitted"]:
+            break
         candidate = dict(slim)
-        candidate["queries"] = {**slim["queries"], name: sec}
+        candidate["queries"] = {**slim["queries"], name: round(sec, 2)}
         candidate["queries_omitted"] = len(all_q) - len(candidate["queries"])
-        if len(json.dumps(candidate)) > limit:
+        if candidate["queries_omitted"]:
+            candidate["queries_full"] = DETAILS_FILE
+        else:
+            candidate.pop("queries_full", None)
+        if len(_enc(candidate)) > limit:
             break
         slim = candidate
+    if slim["queries_omitted"]:
+        slim["queries_full"] = DETAILS_FILE
+    for key in STDOUT_OPTIONAL_SCALARS:
+        if key not in full or key in slim:
+            continue
+        candidate = {**slim, key: full[key]}
+        if len(_enc(candidate)) <= limit:
+            slim = candidate
     return slim
 
 
@@ -1132,7 +1199,9 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:  # read-only checkout must not kill the bench
         print(f"bench: could not write {details_path}: {exc!r}", file=sys.stderr)
-    print(json.dumps(budget_stdout_payload(full)))
+    # compact separators: the budget check in budget_stdout_payload is
+    # computed with the same encoder, so the printed line length matches
+    print(_enc(budget_stdout_payload(full)))
     spark.stop()
 
 

@@ -117,12 +117,14 @@ def test_budget_stdout_line_fits_driver_tail_window():
 
     full = _fake_full_payload(236)
     slim = bench.budget_stdout_payload(full)
-    line = json.dumps(slim)
+    line = bench._enc(slim)  # the encoder main() actually prints with
     assert len(line) <= bench.STDOUT_BUDGET
     assert json.loads(line)["metric"] == "headline_queries_total"
-    # scalar metrics all survive the trim
-    for key in ("value", "sf", "throughput_eps", "stream_p95_latency_ms",
-                "recovery_s", "stream_isolation", "tier2_total"):
+    # RESERVED scalars survive any registry shape (VERDICT r14 item 3: the
+    # per-query dict now takes stdout priority over the other scalars, so
+    # only the BASELINE-gate triple + throughput + weather are guaranteed)
+    for key in ("value", "sf", "throughput_eps", "stream_sustained_eps",
+                "stream_p95_latency_ms", "recovery_s"):
         assert slim[key] == full[key]
     # slowest queries are the ones kept
     kept = slim["queries"]
@@ -142,7 +144,34 @@ def test_budget_keeps_everything_when_small():
     full = _fake_full_payload(5)
     slim = bench.budget_stdout_payload(full)
     assert slim["queries_omitted"] == 0
-    assert slim["queries"] == full["queries"]
+    assert slim["queries"] == {
+        n: round(s, 2) for n, s in full["queries"].items()
+    }
+    # with room to spare, every optional scalar also rides the line
+    for key in ("tier2_total", "stream_isolation", "baseline_recovery_s"):
+        assert slim[key] == full[key]
+
+
+def test_budget_full_headline_registry_never_truncates():
+    """VERDICT r14 items 2+3 (the phantom-drop fix): with the REAL headline
+    list and realistic timings/scalars, every per-query timing fits the
+    stdout line — PERF must never see a timed query as dropped again."""
+    full = _fake_full_payload(0)
+    # the r14 shape: a handful of seconds-scale queries, the rest sub-second
+    # (4-char 2-dp values); a registry where EVERY query runs >=10 s would
+    # not fit, but a 37 s / 57-query headline is nowhere near that
+    full["queries"] = {
+        name: (3.9056 if i % 19 == 0 else 0.3865)
+        for i, name in enumerate(bench.HEADLINE)
+    }
+    slim = bench.budget_stdout_payload(full)
+    assert slim["queries_omitted"] == 0
+    assert set(slim["queries"]) == set(bench.HEADLINE)
+    assert len(bench._enc(slim)) <= bench.STDOUT_BUDGET
+    # and the BASELINE-gate scalars still ride along
+    for key in ("stream_sustained_eps", "stream_p95_latency_ms",
+                "recovery_s", "throughput_eps"):
+        assert slim[key] == full[key]
 
 
 def test_budget_line_under_limit_for_any_registry_shape():
@@ -167,7 +196,7 @@ def test_budget_line_under_limit_for_any_registry_shape():
         full = _fake_full_payload(0)
         full["queries"] = queries
         slim = bench.budget_stdout_payload(full)
-        line = json.dumps(slim)
+        line = bench._enc(slim)
         assert len(line) <= bench.STDOUT_BUDGET
         assert slim["queries_n"] == len(queries)
         assert slim["queries_omitted"] == len(queries) - len(slim["queries"])
@@ -308,7 +337,7 @@ def test_vs_last_fields_raw_value_deltas():
 
 
 def test_vs_last_and_gate_excluded_from_stdout_line():
-    full = _fake_full_payload(60)
+    full = _fake_full_payload(20)
     full["vs_last"] = {"q": {"last_s": 1.0, "delta_pct": 5.0}}
     slim = bench.budget_stdout_payload(full)
     assert "vs_last" not in slim and "stream_gate" not in slim
@@ -539,7 +568,7 @@ def test_walltime_gate_weather_unknown_single_attempt(monkeypatch):
 def test_walltime_gate_scalars_survive_stdout_budget():
     """The headline gate scalars ride the stdout line; the nested attempts
     provenance is sidecar-only (inside the stripped ``steal`` block)."""
-    full = _fake_full_payload(60)
+    full = _fake_full_payload(20)
     full["headline_steal_pct"] = 0.02
     full["headline_steal_gate_ok"] = True
     full["headline_attempts"] = 1
@@ -710,7 +739,7 @@ def test_stream_gate_weather_unknown_keeps_single_attempt(monkeypatch):
 
 
 def test_stream_gate_scalars_survive_stdout_budget():
-    full = _fake_full_payload(60)
+    full = _fake_full_payload(20)
     full["stream_steal_gate_ok"] = True
     full["stream_attempts"] = 2
     full["steal"] = {"stream": {"attempts": [{"valid": True}]}}
