@@ -104,7 +104,9 @@ def events_ts_ms(df: DataFrame, long_divisor: int = 1_000_000) -> DataFrame:
 _SPREAD_KEYS = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
     ``events.ts`` is truncated to millisecond precision; oracle SQL mirrors
@@ -118,6 +120,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as ONE task; measured r14: minhash signatures 2.72 s -> 0.64 s on
     local[32], bit-identical output).  On production multi-split inputs
     the spread never fires.
+
+    ``spread=False`` opts a consumer out (VERDICT r14 item 2: queries whose
+    scan-side map work is cheap — a bare explode/posexplode straight into
+    the first aggregation — pay more for the extra full-payload exchange +
+    32-task stage than the single-core map costs; each opt-out call site
+    cites its own A/B numbers).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -131,17 +139,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     key = _SPREAD_KEYS.get(name)
-    if key is not None:
+    if key is not None and spread:
         from kafka_spark_streaming_eval_spark.session import spread_small_scan
 
         df = spread_small_scan(df, key, scan_parts=_scan_parts(df, path))
     return df
 
 
-# (path, mtime_ns, size) -> planned scan partition count.  The probe costs
-# ~45 ms of physical planning per call (df.rdd), and table() runs several
-# times per query build; the layout of a given file cannot change without
-# its (mtime, size) changing, so one probe per file vintage is exact.
+# (path, mtime_ns, size, split conf) -> planned scan partition count.  The
+# probe costs ~45 ms of physical planning per call (df.rdd), and table()
+# runs several times per query build; the layout of a given file cannot
+# change without its (mtime, size) changing.  The planner's split count
+# ALSO depends on session conf (ADVICE r14: maxPartitionBytes and the
+# parallelism-derived openCost packing), so those ride the key — a value
+# cached under one session's conf can't leak into a session planned
+# differently in the same process.
 _SCAN_PARTS_CACHE: dict[tuple, int] = {}
 
 
@@ -149,7 +161,16 @@ def _scan_parts(df: DataFrame, path: str) -> int:
     import os
 
     st = os.stat(path)
-    k = (path, st.st_mtime_ns, st.st_size)
+    sess = df.sparkSession
+    try:
+        conf_key = (
+            sess.conf.get("spark.sql.files.maxPartitionBytes", ""),
+            sess.conf.get("spark.sql.files.openCostInBytes", ""),
+            sess.sparkContext.defaultParallelism,
+        )
+    except Exception:
+        conf_key = ()
+    k = (path, st.st_mtime_ns, st.st_size, conf_key)
     n = _SCAN_PARTS_CACHE.get(k)
     if n is None:
         n = _SCAN_PARTS_CACHE[k] = df.rdd.getNumPartitions()

@@ -453,9 +453,14 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     across clusters.  At 100 TB cluster count scales with corpus size
     (k ∝ n), holding members-per-cluster bounded, which is exactly
     SemDeDup's published cost model; the dropped-set is distinct-keyed
-    by vec_id so the ledger join moves ids, not vectors."""
+    by vec_id so the ledger join moves ids, not vectors.
+
+    spread=False (VERDICT r14 item 3): same shape as sim_centroid_confusion
+    — posexplode straight into the centroid aggregation; the spread's extra
+    full-vector exchange cost 0.48 s -> 0.58 s at sf0.1 (8->32-core ratio
+    1.08: overhead-bound)."""
     prep(spark)
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=False)
     ex = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "xf")).select(
         "vec_id",
         "label",
@@ -517,6 +522,12 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
+    # A branch-selective spread of ONLY this norm fold (the one heavy-map
+    # consumer in the query) was A/B-tested r15 and declined: it improves
+    # full materialization (noop 2.93 s -> 2.30 s interleaved at sf0.1) but
+    # regresses the bench's count action by ~0.3-0.4 s (the pairwise branch
+    # is not fully pruned from count, so the extra exchange is paid), and
+    # on any multi-split production scan the spread is a no-op anyway.
     v = e.select("vec_id", "label", "embedding", nrm.alias("nrm"))
     a = v.select(
         F.col("vec_id").alias("a_id"),

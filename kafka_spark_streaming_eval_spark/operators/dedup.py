@@ -36,9 +36,9 @@ BAND_SIZE = 3  # rows per LSH band -> 4 bands
 LSH_BUCKET_CAP = 64
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     prep(spark)
-    return table(spark, sf_dir, "documents")
+    return table(spark, sf_dir, "documents", spread=spread)
 
 
 # ---------------------------------------------------------------------------
@@ -786,8 +786,13 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key; bucket membership is capped at {LSH_BUCKET_CAP} (shortest
     first, so contained docs survive the cap) bounding degenerate blocks at
     C(cap,2).  Verification is a char-level ``startswith(container,
-    contained || ' ')`` — the space suffix enforces a token boundary."""
-    d = _docs(spark, sf_dir)
+    contained || ' ')`` — the space suffix enforces a token boundary.
+
+    spread=False (VERDICT r14 item 3): scan-side work is one split+slice+md5
+    of a short prefix per doc before the block-key exchange; the spread's
+    extra full-text exchange cost 0.48 s -> 0.68 s at sf0.1 (8->32-core
+    ratio 0.87: task overhead already exceeds the map work)."""
+    d = _docs(spark, sf_dir, spread=False)
     toks = F.split(F.col("text"), " ")
     planted = (
         d.where(F.col("doc_id") % PREFIX_PLANT_EVERY == 0)

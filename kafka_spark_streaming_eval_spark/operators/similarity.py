@@ -31,9 +31,9 @@ N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
 TOP_K = 10
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     prep(spark)
-    return table(spark, sf_dir, "embeddings")
+    return table(spark, sf_dir, "embeddings", spread=spread)
 
 
 def l2_norm(col: str | Column) -> Column:
@@ -692,8 +692,13 @@ def sim_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is a (label, dim) groupBy -> ~|labels| x 64 rows, BROADCAST back
     against the exploded corpus (map-only join on dim), then one
     (vec_id, label) partial-agg shuffle and a per-vector argmax window.  No
-    vector ever all-pairs with another vector — O(n x labels), not O(n^2)."""
-    e = _emb(spark, sf_dir)
+    vector ever all-pairs with another vector — O(n x labels), not O(n^2).
+
+    spread=False (VERDICT r14 item 3): the scan feeds a bare posexplode
+    straight into the (label, dim) aggregation — partial aggregation starts
+    in the scan stage, so the spread's extra full-vector exchange cost
+    0.71 s -> 0.84 s at sf0.1 (8->32-core ratio 1.01: overhead-bound)."""
+    e = _emb(spark, sf_dir, spread=False)
     ex = e.select(
         "vec_id",
         "label",

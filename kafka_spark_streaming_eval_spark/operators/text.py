@@ -35,9 +35,9 @@ _STOPWORDS = {
 }
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     prep(spark)
-    return table(spark, sf_dir, "documents")
+    return table(spark, sf_dir, "documents", spread=spread)
 
 
 @register(
@@ -682,8 +682,13 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the corpus collapses to distinct (source, token) FIRST (one
     explode + one groupBy, linear), so the token-equality self-join runs on
     the vocabulary table — |vocab| x |sources| rows, millions not billions
-    at 100 TB — never on the corpus.  Output is C(n_sources, 2) rows."""
-    d = _docs(spark, sf_dir)
+    at 100 TB — never on the corpus.  Output is C(n_sources, 2) rows.
+
+    spread=False (VERDICT r14 item 3): the only scan-side work is one
+    split+explode feeding a distinct whose exchange re-spreads anyway, so
+    the spread's extra full-text exchange cost 0.36 s -> 0.66 s at sf0.1
+    (8->32-core ratio 1.02: overhead-bound, not compute-bound)."""
+    d = _docs(spark, sf_dir, spread=False)
     st = (
         d.select("source", F.explode(F.split("text", " ")).alias("t"))
         .where(F.col("t") != "")

@@ -33,8 +33,21 @@ def test_spread_fires_on_undersplit_scan(spark):
 def test_spread_noop_when_scan_feeds_parallelism(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     already_wide = docs.repartition(64, "doc_id")
-    out = spread_small_scan(already_wide, "doc_id")
+    # explicit parts=64 so the no-op premise holds on any host (ADVICE r14:
+    # with defaultParallelism > 64 the spread would fire spuriously)
+    out = spread_small_scan(already_wide, "doc_id", parts=64)
     assert out is already_wide  # no extra exchange stacked on top
+
+
+def test_spread_respects_consumer_opt_out(spark):
+    """VERDICT r14 item 3: light-map consumers opt out via
+    table(..., spread=False) — the scan must come back un-repartitioned."""
+    opted_out = table(spark, SF_DIR, "documents", spread=False)
+    assert opted_out.rdd.getNumPartitions() == 1  # raw testdata layout
+    default = table(spark, SF_DIR, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if par > 1:
+        assert default.rdd.getNumPartitions() == par
 
 
 def test_spread_scan_parts_hint_respected(spark):
