@@ -153,9 +153,17 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         bench.count()  # materialize before the first trigger
 
         schema = spark.read.parquet(src).schema
+        # 2 files per trigger (VERDICT r14 item 5): the bounded replay's
+        # per-micro-batch cost is planning + state load/commit, which at
+        # sf0.1 dominates the map work — its 8->32-core ratio was 0.84
+        # (scheduling grows with cores).  Halving the batch count from 4 to
+        # 2 keeps the exhibit genuinely incremental (two stateful commits,
+        # batch 2 updating batch 1's complete-mode state) and was
+        # interleaved-A/B-measured at ~2x on the stream segment (3.26 s ->
+        # 1.87 s best-of-4 under equal weather; identical output rows).
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", 2)
             .parquet(staged)
             .where(F.col("source") != BENCH_SOURCE)
         )

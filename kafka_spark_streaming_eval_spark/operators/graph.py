@@ -32,6 +32,56 @@ PR_ITERS = 15
 PR_DAMP = 0.85  # literal 0.85/0.15 mirrored as CAST(... AS DOUBLE) in SQL
 _Q = "1e15"  # contribution quantization grid
 
+# Edge-count ceiling for the single-task vectorized loop (guide §2.4 /
+# VERDICT r14 item 4 "collapse the quantized-sum contract into fewer
+# jobs"): below this, the WHOLE 15-iteration loop runs as ONE Python task
+# over the 1-partition frac table instead of 15 driver-sequenced
+# join+agg rounds (each a broadcast build) plus 3 eager checkpoints.
+# frac carries at most edges + 2*edges rows (every node appears on some
+# edge, one self-loop row per node), so 1M edges bounds the task at ~3M
+# rows (~100 MB, sub-second in numpy) — far above any graph whose loop
+# overhead dominates, far below one that needs the cluster.
+PR_INTASK_MAX_EDGES = 1_000_000
+
+
+def _pagerank_intask(n_iters: int, damp: float):
+    """The exact PageRank trajectory of the DataFrame loop below, as one
+    vectorized task: every arithmetic step is the same IEEE-754 double op
+    in the same order — (rank*f)*1e15, floor, exact int64 per-dst sum,
+    int64->double cast, /1e15, *damp, +0.15/n — so the 15-round result is
+    bit-identical to the join+agg formulation (asserted by
+    tests/test_properties.py::test_pagerank_intask_matches_dataframe_loop
+    and the oracle's recursive CTE)."""
+
+    def run(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        frames = list(pdfs)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        # the f=0/f=1 self-loop rows enumerate every node, so the node
+        # universe (and n) is recoverable from frac alone
+        nodes = pd.Index(
+            pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        )
+        n = len(nodes)
+        if n == 0:
+            return
+        src_i = nodes.get_indexer(df["src"].to_numpy())
+        dst_i = nodes.get_indexer(df["dst"].to_numpy())
+        f = df["f"].to_numpy(dtype=np.float64)
+        rank = np.full(n, 1.0 / n, dtype=np.float64)
+        for _ in range(n_iters):
+            cb = np.floor((rank[src_i] * f) * 1.0e15).astype(np.int64)
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, dst_i, cb)  # exact, order-independent BIGINT sum
+            rank = 0.15 / n + damp * (s.astype(np.float64) / 1.0e15)
+        yield pd.DataFrame({"node": nodes.to_numpy(), "pagerank": rank})
+
+    return run
+
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation-to-nation trade graph: edge (customer nation → supplier
@@ -143,6 +193,21 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Tiny-graph fast path (guide §2.4, VERDICT r14 item 4): the r14 loop
+    # spent its time in 15 per-iteration broadcast builds + 3 eager
+    # checkpoints, not shuffles (phase A/B at sf0.1: loop segment ~3.3 s of
+    # the 3.7 s total).  Below PR_INTASK_MAX_EDGES the whole loop runs as
+    # one vectorized task over the checkpointed 1-partition frac — same
+    # trajectory bit-for-bit (see _pagerank_intask), one job instead of
+    # ~18.  The checkpoint stays so the returned plan is a checkpoint scan
+    # (no Join), keeping Catalyst analysis flat exactly as before.
+    m_edges = base.count()  # tiny job on the checkpointed edge table
+    if m_edges <= PR_INTASK_MAX_EDGES:
+        frac1 = iter_checkpoint(frac.coalesce(1))
+        return frac1.mapInPandas(
+            _pagerank_intask(PR_ITERS, PR_DAMP), "node string, pagerank double"
+        )
+
     n = nodes.count()  # node count: tiny scalar, the loop's only driver value
     # Size the loop's partitioning to the state, not the session default:
     # ~50k nodes per partition, capped at the session shuffle parallelism.
@@ -286,6 +351,13 @@ def graph_bfs_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             # coalesce is narrow — with both loop operands single-partition
             # the whole superstep then runs shuffle-free
             upd = upd.coalesce(1)
+        elif loop_parts < sess_parts:
+            # mid-size state: pin the per-round exchange to loop_parts with
+            # a keyed repartition the min-fold below reuses, exactly as
+            # pagerank's loop does — without it the groupBy plans at AQE's
+            # initialPartitionNum every round (ADVICE r14: the loop_parts
+            # sizing comment was only true for the ==1 branch)
+            upd = upd.repartition(loop_parts, "node")
         dist = upd.groupBy("node").agg(F.min("dist").alias("dist"))
         # Checkpoint EVERY round: dist feeds both the relaxation join and
         # the union, so an unmaterialized round doubles the replay of the

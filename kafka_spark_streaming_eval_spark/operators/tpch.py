@@ -864,13 +864,26 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    # collect_set instead of two count_distincts (r15, guide §2.3/§2.4):
+    # multi-distinct aggregation plans an Expand that TRIPLES the joined
+    # lineitem rows into the first exchange and needs a second orderkey
+    # exchange after it; supplier sets per order are tiny (TPC-H bounds
+    # suppliers-per-order at 7), so collecting them as sets aggregates
+    # map-side and the whole per_order build is ONE narrow exchange with no
+    # Expand (plan: 2 Exchange + Expand -> 1 Exchange; interleaved A/B at
+    # sf0.1 quiet: 1.32 s -> 0.93 s, identical output).  size()/array_max()
+    # over sets are order-independent, and collect_set drops the nulls the
+    # CASE WHEN produces for on-time lines — exactly count(DISTINCT CASE)/
+    # max(CASE) semantics (oracle SQL unchanged).
     per_order = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(F.collect_set(F.when(late, F.col("l_suppkey")))).alias("n_late"),
+            F.array_max(F.collect_set(F.when(late, F.col("l_suppkey")))).alias(
+                "late_supp"
+            ),
         )
     )
     return (

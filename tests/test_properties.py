@@ -164,6 +164,21 @@ def test_pagerank_mass_conserved(spark):
     assert {r.node: r.pagerank for r in rows} == again
 
 
+def test_pagerank_intask_matches_dataframe_loop(spark, monkeypatch):
+    """The r15 single-task vectorized loop must reproduce the DataFrame
+    join+agg loop BIT-FOR-BIT (same IEEE ops in the same order on the same
+    quantization grid) — forcing the edge-count gate to 0 re-runs the query
+    through the distributed branch for the comparison."""
+    from kafka_spark_streaming_eval_spark.operators import graph as G
+    from tests.conftest import SF_DIR
+
+    fast = {r.node: r.pagerank for r in G.graph_pagerank_trade(spark, SF_DIR).collect()}
+    monkeypatch.setattr(G, "PR_INTASK_MAX_EDGES", -1)
+    slow = {r.node: r.pagerank for r in G.graph_pagerank_trade(spark, SF_DIR).collect()}
+    assert fast == slow  # exact float equality, not approx
+    assert len(fast) > 0
+
+
 def test_events_long_ts_divisor_detects_epoch_unit(tmp_path):
     """The testdata ts encoding changed once between driver rounds already;
     if a future vintage stores epoch ms/us as a plain long, the divisor
