@@ -414,7 +414,23 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big orders (≈1% of orders) ever join — orders and customer attach
     to a tiny left side.  No LIMIT: the threshold itself bounds the result,
     avoiding Q18's classic nondeterministic top-100 cut."""
-    li = _t(spark, sf_dir, "lineitem")
+    # Spread the under-split lineitem scan by the AGGREGATION KEY (r15,
+    # guide §2.4 "two operations keyed the same way share one exchange"):
+    # the keyed repartition IS the exchange the orderkey groupBy needs, so
+    # no extra shuffle is added — it just moves ahead of the sum, letting
+    # the decimal aggregation run at session parallelism instead of inside
+    # the single-row-group scan task.  Unlike the catalog-level lineitem
+    # spread r14 rejected, no broadcast decision is at risk here: lineitem
+    # is the probe side of both joins (orders auto-broadcasts on its own
+    # estimate, customer is hinted).  Interleaved A/B at sf0.1 quiet:
+    # 1.01 s -> 0.77 s, identical output; no-op on multi-split inputs.
+    from kafka_spark_streaming_eval_spark.catalog import _scan_parts
+    from kafka_spark_streaming_eval_spark.session import spread_small_scan
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li = spread_small_scan(
+        li, "l_orderkey", scan_parts=_scan_parts(li, f"{sf_dir}/lineitem.parquet")
+    )
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_dq"))
