@@ -287,6 +287,65 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
+# In-task connected-components gate: below this many (directed) edge rows
+# the label loop collapses into one union-find task (see
+# dedup_cluster_components).  Mirrors graph.PR_INTASK_MAX_EDGES; a 100 TB
+# corpus' candidate graph exceeds it and takes the distributed loop.
+CC_INTASK_MAX_EDGES = 1_000_000
+
+
+def _components_intask():
+    """Union-find over the (u, v) edge batches of ONE task: exact connected
+    components with component_id = min doc_id per component (union always
+    attaches the larger root under the smaller, so every root is its
+    component's minimum — the same fixed point the min-label loop converges
+    to, except exact rather than 30-round-capped).  Emits one row per node:
+    (doc_id, component_id, n_reachable=|component|).  Returned as a closure
+    so cloudpickle ships it by value — the driver's workers need no
+    PYTHONPATH to this package (same reason as _pagerank_intask)."""
+
+    def run(pdfs):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for df in pdfs:
+            for a, b in zip(df["u"], df["v"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if not parent:
+            return
+        comp = {node: find(node) for node in parent}
+        sizes: dict = {}
+        for root in comp.values():
+            sizes[root] = sizes.get(root, 0) + 1
+        nodes = list(comp)
+        yield pd.DataFrame(
+            {
+                "doc_id": nodes,
+                "component_id": [comp[n] for n in nodes],
+                "n_reachable": [sizes[comp[n]] for n in nodes],
+            }
+        )
+
+    return run
+
+
 @register(
     "dedup_cluster_components",
     "dedup",
@@ -322,11 +381,34 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointing).  ``n_reachable`` (component size seen from each node)
     doubles as a verification the propagation reached the full component —
     the oracle computes it from the recursive closure."""
-    pairs = lsh_candidate_pairs(_docs(spark, sf_dir))
+    # Checkpoint the SINGLE-direction pair list (pairs computed once,
+    # reused every round): the doubled edge view derives from it with two
+    # cheap checkpoint-scan selects, so the materialization writes half the
+    # rows the r14 version did (which checkpointed the doubled union — its
+    # two branches also each replanned the pair build; A/B at sf0.1:
+    # med 1.84 -> 1.70 s with the in-task path below).
+    pairs = iter_checkpoint(lsh_candidate_pairs(_docs(spark, sf_dir)))
+    # Tiny-graph fast path (r15, guide §2.4/§2.6 — same move as
+    # graph_pagerank_trade): the r14 loop spent its time in per-round join
+    # jobs + checkpoints on a ~500-edge graph (phase A/B at sf0.1: pair
+    # build ~60%, loop ~35%, tail ~10% of 1.5 s).  Below CC_INTASK_MAX_EDGES
+    # the loop + component-size agg + final join collapse into ONE
+    # union-find task over the already-checkpointed pairs — exact closure,
+    # the very fixed point the capped loop approximates (interleaved A/B at
+    # sf0.1: med 2.17 -> 1.46 s).  The count is a tiny job on checkpointed
+    # data; at 100 TB the distributed loop below takes over unchanged.
+    if pairs.count() * 2 <= CC_INTASK_MAX_EDGES:
+        return (
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+            .coalesce(1)
+            .mapInPandas(
+                _components_intask(),
+                "doc_id long, component_id long, n_reachable long",
+            )
+        )
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    edges = iter_checkpoint(edges)  # pairs computed once, reused every round
     labels = edges.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )

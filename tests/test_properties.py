@@ -179,6 +179,21 @@ def test_pagerank_intask_matches_dataframe_loop(spark, monkeypatch):
     assert len(fast) > 0
 
 
+def test_components_intask_matches_label_loop(spark, monkeypatch):
+    """The r15 single-task union-find must produce exactly the rows of the
+    distributed min-label-propagation loop (same components, same min-label
+    component ids, same sizes) — forcing the edge-count gate to -1 re-runs
+    the query through the loop branch for the comparison."""
+    from kafka_spark_streaming_eval_spark.operators import dedup as D
+    from tests.conftest import SF_DIR
+
+    fast = sorted(map(tuple, D.dedup_cluster_components(spark, SF_DIR).collect()))
+    monkeypatch.setattr(D, "CC_INTASK_MAX_EDGES", -1)
+    slow = sorted(map(tuple, D.dedup_cluster_components(spark, SF_DIR).collect()))
+    assert fast == slow
+    assert len(fast) > 0
+
+
 def test_events_long_ts_divisor_detects_epoch_unit(tmp_path):
     """The testdata ts encoding changed once between driver rounds already;
     if a future vintage stores epoch ms/us as a plain long, the divisor
