@@ -118,10 +118,16 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         _ensure_staged,
         _run_to_table,
         _src_fingerprint,
+        _stream_session,
         _table_rows,
     )
 
     prep(spark)
+    # Isolated session for the stream (ADVICE r14): state-store partition
+    # sizing lives on its own SQLConf instead of a set/run/restore on the
+    # shared session.  The static side below is built on it too — the
+    # cache is SparkContext-shared, so nothing changes operationally.
+    spark = _stream_session(spark, _table_rows(sf_dir, "documents"))
     src = f"{sf_dir}/documents.parquet"
 
     def build(d: str) -> None:
@@ -191,9 +197,7 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
             .groupBy("source", "doc_id")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
-        out = _run_to_table(
-            per_doc, "complete", state_rows=_table_rows(sf_dir, "documents")
-        )
+        out = _run_to_table(per_doc, "complete")
     finally:
         bench.unpersist()
     return out.groupBy("source").agg(

@@ -141,6 +141,30 @@ def _state_parts(spark: SparkSession, approx_rows: int) -> int:
     return max(1, min(sess, approx_rows // STATE_ROWS_PER_PART + 1))
 
 
+def _stream_session(
+    spark: SparkSession, state_rows: int | None = None
+) -> SparkSession:
+    """Isolated SQLConf for ONE streaming exhibit (ADVICE r14 medium).
+
+    State-store partition sizing is a per-query decision; the r14
+    set/run/restore on the SHARED session leaked the tiny partition count
+    to any query planned concurrently, and two overlapping exhibits could
+    restore each other's temporary value.  ``newSession()`` shares the
+    SparkContext, catalog and cache but owns its SQLConf, so the sizing is
+    invisible outside the exhibit and reentrant by construction.  The new
+    session starts from context defaults, so it is re-``prep``ed and its
+    shuffle partitioning is sized to ``state_rows`` (``_state_parts``,
+    capped at the PARENT session's parallelism) — or inherits the parent's
+    value verbatim when no state bound is known."""
+    iso = prep(spark.newSession())
+    conf_key = "spark.sql.shuffle.partitions"
+    if state_rows is not None:
+        iso.conf.set(conf_key, str(_state_parts(spark, state_rows)))
+    else:
+        iso.conf.set(conf_key, spark.conf.get(conf_key, "32"))
+    return iso
+
+
 _TABLE_ROWS_CACHE: dict[str, int] = {}
 
 
@@ -175,38 +199,27 @@ def _table_rows(sf_dir: str, name: str) -> int:
     return n
 
 
-def _run_to_table(
-    stream_df: DataFrame, mode: str, state_rows: int | None = None
-) -> DataFrame:
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
     """Drive a streaming aggregation to completion; return the result table.
 
-    ``state_rows`` (approximate input/state row bound, e.g. the replayed
-    table's metadata row count) sizes the stateful operators' shuffle
-    partitioning via ``_state_parts`` for the lifetime of this query —
-    the conf is restored afterwards; Spark pins the value in the
-    checkpoint's offset metadata at the first batch."""
+    State-store partition sizing happens where the stream is BUILT (the
+    exhibit passes its input row bound to ``_stream_session`` and builds
+    the stream on that isolated session) — this helper no longer mutates
+    any conf, so it is safe under concurrent query construction."""
     spark = stream_df.sparkSession
     name = f"stream_result_{next(_name_counter)}"
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    if state_rows is not None:
-        spark.conf.set(conf_key, str(_state_parts(spark, state_rows)))
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
-        q = (
-            stream_df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
+        q.processAllAvailable()
     finally:
-        if state_rows is not None:
-            spark.conf.set(conf_key, old_parts)
+        q.stop()
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -225,11 +238,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE STREAMING ENGINE (file source -> window agg -> memory sink,
     complete mode), then compared against the batch oracle — the
     batch/stream equivalence gate."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(_stream_session(spark, _table_rows(sf_dir, "events")), sf_dir)
     agg = ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
     )
-    out = _run_to_table(agg, "complete", state_rows=_table_rows(sf_dir, "events"))
+    out = _run_to_table(agg, "complete")
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "event_type",
@@ -257,11 +270,11 @@ def stream_sliding_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (12h window, 6h slide): every event lands in exactly
     two windows; throughput = events per window second (generalizes the
     reference's batch_events / trigger_sec)."""
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream(_stream_session(spark, _table_rows(sf_dir, "events")), sf_dir)
     agg = ev.groupBy(F.window("ts", "12 hours", "6 hours")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    out = _run_to_table(agg, "complete", state_rows=_table_rows(sf_dir, "events"))
+    out = _run_to_table(agg, "complete")
     return out.select(
         F.unix_millis(F.col("window.start")).alias("window_start_ms"),
         "n",
@@ -283,16 +296,16 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     ``dropDuplicatesWithinWatermark`` on event_id removes the copies while
     the watermark bounds the dedup state — the unbounded-stream-safe version
     of dropDuplicates.  Oracle: distinct count per type on the clean input."""
-    ev = _events_stream(spark, sf_dir)
+    # doubled input: dedup state holds ~2x the events rows inside the watermark
+    ev = _events_stream(
+        _stream_session(spark, 2 * _table_rows(sf_dir, "events")), sf_dir
+    )
     doubled = ev.unionByName(ev)
     deduped = doubled.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
-    # doubled input: dedup state holds ~2x the events rows inside the watermark
-    return _run_to_table(
-        agg, "complete", state_rows=2 * _table_rows(sf_dir, "events")
-    )
+    return _run_to_table(agg, "complete")
 
 
 @register(
@@ -417,9 +430,10 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled against the stream.  Windowed agg counts events above their
     type's historical average.  The average is decimal-exact (davg) so both
     engines compare the same bits."""
-    ev_static = table(prep(spark), sf_dir, "events")
+    iso = _stream_session(spark, _table_rows(sf_dir, "events"))
+    ev_static = table(iso, sf_dir, "events")
     stats = ev_static.groupBy("event_type").agg(davg("value").alias("avg_value"))
-    stream = _events_stream(spark, sf_dir)
+    stream = _events_stream(iso, sf_dir)
     enriched = stream.join(F.broadcast(stats), "event_type")
     agg = enriched.groupBy(F.window("ts", "1 day"), "event_type").agg(
         F.sum(F.when(F.col("value") > F.col("avg_value"), 1).otherwise(0)).alias(
@@ -427,7 +441,7 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
-    out = _run_to_table(agg, "complete", state_rows=_table_rows(sf_dir, "events"))
+    out = _run_to_table(agg, "complete")
     return out.select(
         "event_type",
         F.unix_millis(F.col("window.start")).alias("day_ms"),
@@ -461,8 +475,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the identical join as plain batch SQL — batch/stream
     equivalence for the two-stream stateful operator."""
+    iso = _stream_session(spark, 2 * _table_rows(sf_dir, "events"))
     clicks = (
-        _events_stream(spark, sf_dir)
+        _events_stream(iso, sf_dir)
         .where(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -472,7 +487,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 day")
     )
     views = (
-        _events_stream(spark, sf_dir)
+        _events_stream(iso, sf_dir)
         .where(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
@@ -487,9 +502,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 6 HOURS"))
         & (F.col("view_ts") <= F.col("click_ts")),
     )
-    out = _run_to_table(
-        joined, "append", state_rows=2 * _table_rows(sf_dir, "events")
-    )
+    out = _run_to_table(joined, "append")
     return out.select(
         "click_id",
         "view_id",
@@ -589,14 +602,14 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
     by the 6 h interval + watermark delay.  The oracle is the identical
     LEFT JOIN in batch SQL — batch/stream equivalence including the null
     rows."""
-    prep(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    staged = _left_outer_staged_dir(spark, sf_dir)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    iso = _stream_session(spark, 2 * _table_rows(sf_dir, "events"))
+    iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staged = _left_outer_staged_dir(iso, sf_dir)
+    schema = iso.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def side() -> DataFrame:
         raw = (
-            spark.readStream.schema(schema)
+            iso.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(staged)
         )
@@ -629,9 +642,7 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("view_ts") <= F.col("click_ts")),
         "leftOuter",
     )
-    out = _run_to_table(
-        joined, "append", state_rows=2 * _table_rows(sf_dir, "events")
-    )
+    out = _run_to_table(joined, "append")
     return out.where(F.col("user_id") >= 0).select(
         "click_id",
         "view_id",

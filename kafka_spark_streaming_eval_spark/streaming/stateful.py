@@ -90,27 +90,24 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
     name = f"stateful_out_{next(_sink_counter)}"
     # Size state partitioning to the replayed input, not the session default
     # (see streaming.queries.STATE_ROWS_PER_PART: 32 near-empty stores paid
-    # a per-batch load/commit/fsync cycle each, x4 batches here).
-    from kafka_spark_streaming_eval_spark.streaming.queries import _state_parts
+    # a per-batch load/commit/fsync cycle each, x4 batches here).  The
+    # sizing lives on an ISOLATED session (ADVICE r14: the set/run/restore
+    # on the shared session leaked to concurrently planned queries).
+    from kafka_spark_streaming_eval_spark.streaming.queries import _stream_session
 
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(_state_parts(spark, ev_rows)))
+    iso = _stream_session(spark, ev_rows)
+    q = (
+        running_count_stream(iso, base)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
-        q = (
-            running_count_stream(spark, base)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
+        q.processAllAvailable()
     finally:
-        spark.conf.set(conf_key, old_parts)
-    emitted = spark.table(name)
+        q.stop()
+        q.awaitTermination()
+    emitted = iso.table(name)
     return emitted.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
