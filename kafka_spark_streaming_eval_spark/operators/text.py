@@ -1039,22 +1039,27 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {COLLOC_MIN_COUNT}-occurrence floor is the standard guard against
     rare-pair lift explosion.
 
-    Plan shape: bigrams via one per-doc ordinal window (state bounded per
-    document), unigram/pair counts map-side combinable; the scalar totals
+    Plan shape: bigrams come straight off the split array — ``split``
+    already yields tokens in document order, so adjacent pairs are
+    ``arrays_zip`` of the array with itself shifted by one, no per-doc
+    ordinal window (r15, guide §2.4: the window forced a full sort-shuffle
+    of every token on (doc_id, pos) before the first aggregation; the
+    array form starts the map-side-combinable pair counts in the scan
+    stage).  Unigram/pair counts map-side combinable; the scalar totals
     and the vocabulary join sides are broadcast.  At 100 TB this is two
     keyed aggregations over the token stream plus a top-k — no all-pairs
     anything."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    wd = W.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        toks.select(
-            F.col("token").alias("w1"), F.lead("token").over(wd).alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-    )
+    arr = d.select(F.split("text", " ").alias("t"))
+    toks = arr.select(F.explode("t").alias("token"))
+    bi = arr.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
     uni = toks.groupBy(F.col("token").alias("w")).agg(
         F.count(F.lit(1)).alias("n_w")
     )

@@ -672,7 +672,7 @@ def stream_python_datasource_source(spark: SparkSession, sf_dir: str) -> DataFra
     """Spark 4 Python DataSource API, STREAMING side: the same synthetic
     event generator as ``src_python_datasource_events`` exposed through
     ``SimpleDataSourceStreamReader`` — offsets are row indices, each
-    trigger admits one 10k-row slice, and the engine's offset log gives
+    trigger admits one 25k-row slice, and the engine's offset log gives
     exactly-once replay (``read`` is re-run deterministically from the
     committed offset on recovery, which only works because the generator
     is a pure function of the index — the reference producer's property,
@@ -683,7 +683,13 @@ def stream_python_datasource_source(spark: SparkSession, sf_dir: str) -> DataFra
     and plain SQL agree exactly."""
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    TOTAL, STEP = 50_000, 10_000
+    # Slice size is a measured micro-batch-overhead decision (r15): each
+    # SimpleDataSourceStreamReader slice costs ~0.6 s of driver-side read +
+    # batch planning regardless of rows, so 5 x 10k slices spent ~3.3 s on
+    # ~0.1 s of aggregation work.  Two slices keep the multi-batch
+    # offset-log replay this exhibit exists to prove; the aggregate is
+    # slice-boundary-invariant either way.
+    TOTAL, STEP = 50_000, 25_000
 
     class SynthStreamReader(SimpleDataSourceStreamReader):
         def initialOffset(self):
@@ -721,7 +727,11 @@ def stream_python_datasource_source(spark: SparkSession, sf_dir: str) -> DataFra
         def simpleStreamReader(self, schema):
             return SynthStreamReader()
 
-    spark = prep(spark)
+    # Isolated session sized to the generated row bound (r15): the
+    # complete-mode agg holds 4 keys of state, but its store count follows
+    # spark.sql.shuffle.partitions — on the shared session that meant 32
+    # near-empty stores paying load+commit per micro-batch, x5 slices.
+    spark = _stream_session(spark, TOTAL)
     spark.dataSource.register(SynthEventsStream)
     stream = spark.readStream.format("syntheventsstream").load()
     agg = stream.groupBy("event_type").agg(
