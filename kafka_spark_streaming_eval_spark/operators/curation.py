@@ -147,9 +147,16 @@ def stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFr
     # micro-batch, and re-tokenizing the benchmark slice 4x tripled this
     # query's wall time.  In production the index is a precomputed table;
     # the cache is the local[N] stand-in, dropped once the stream drains.
+    # spread=False (r15): same shape as text_source_vocab_overlap — the
+    # scan feeds a distinct whose exchange re-spreads anyway, and only the
+    # 1/|sources| benchmark slice survives the filter; interleaved A/B of
+    # the index build: 0.25 s no-spread vs 0.34-0.43 s spread at BOTH 8
+    # and 32 cores (the spread also made this build core-count-sensitive).
     bench = (
         shingle_rows(
-            table(spark, sf_dir, "documents").where(F.col("source") == BENCH_SOURCE)
+            table(spark, sf_dir, "documents", spread=False).where(
+                F.col("source") == BENCH_SOURCE
+            )
         )
         .select("sh")
         .distinct()
